@@ -1,0 +1,280 @@
+"""Pallas TPU kernel: blocked gallery distance scan with fused running top-k.
+
+This is the TPU-native replacement for the scalar gallery loops of
+qt_cpp/db_features.cpp:319-335 / qt_cpp/ann.cpp:113-126 at production scale:
+the query batch stays resident in VMEM, the gallery lives in HBM and is
+streamed tile-by-tile (Pallas double-buffers the DMA via the grid BlockSpec),
+each tile's distances are computed on the MXU via the ``|q|^2 + |g|^2 -
+2 q.g`` expansion, and a per-query top-k carry persists in VMEM scratch
+across the gallery grid — the ring-attention-shaped loop with a top-k carry
+instead of softmax state (SURVEY.md §5). The [B, N] score matrix is never
+materialized and every gallery byte is read exactly once per batch, so the
+kernel is compute-bound on the MXU for bf16 galleries.
+
+Feature-window support (``start``/``end`` over the feature axis) implements
+the partial-range primitive under the TWD / sequential classifiers
+(db_features.cpp:22-26 start_pos/end_pos) via lane masking, keeping shapes
+static for XLA.
+
+Top-k with small static k is computed by iterative argmin extraction (the
+reference only ever needs k=1; shard-merge paths use k<=16).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG_DIST = 3.4e38
+_INT_BIG = 2**31 - 1
+
+# Max query rows held VMEM-resident per kernel launch; larger batches are
+# chunked at the host level by ``topk_l2``.
+MAX_QUERY_BLOCK = 1024
+
+
+def _masked_argmin(d: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(min, argmin) along axis=1 of [TQ, TG] without lax.argmin (keeps the
+    lowering friendly for Mosaic): equality mask + iota min."""
+    tq, tg = d.shape
+    mins = jnp.min(d, axis=1, keepdims=True)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tq, tg), 1)
+    arg = jnp.min(jnp.where(d == mins, cols, _INT_BIG), axis=1)
+    return mins[:, 0], arg
+
+
+def _merge_topk(
+    best_d: jax.Array,  # [B, k] ascending
+    best_i: jax.Array,  # [B, k]
+    tile_d: jax.Array,  # [B, TG]
+    tile_base: jax.Array,  # scalar: global index of tile column 0
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Extract the k smallest of tile_d and merge into the sorted carry."""
+    b = tile_d.shape[0]
+    cand_d = []
+    cand_i = []
+    d = tile_d
+    for _ in range(k):
+        m, a = _masked_argmin(d)
+        cand_d.append(m)
+        cand_i.append(tile_base + a)
+        if k > 1:
+            tg = d.shape[1]
+            cols = jax.lax.broadcasted_iota(jnp.int32, (b, tg), 1)
+            d = jnp.where(cols == a[:, None], BIG_DIST, d)
+    # Select the k smallest of the 2k carried + candidate entries.
+    all_d = jnp.concatenate([best_d] + [c[:, None] for c in cand_d], axis=1)
+    all_i = jnp.concatenate([best_i] + [c[:, None] for c in cand_i], axis=1)
+    out_d = []
+    out_i = []
+    for _ in range(k):
+        m, a = _masked_argmin(all_d)
+        out_d.append(m)
+        cols = jax.lax.broadcasted_iota(jnp.int32, all_d.shape, 1)
+        sel = cols == a[:, None]
+        out_i.append(jnp.sum(jnp.where(sel, all_i, 0), axis=1))
+        all_d = jnp.where(sel, BIG_DIST, all_d)
+    return jnp.stack(out_d, axis=1), jnp.stack(out_i, axis=1)
+
+
+def _topk_kernel(
+    # scalar prefetch
+    n_valid_ref,  # [1] int32: true gallery row count
+    window_ref,  # [2] int32: feature window [start, end)
+    # inputs
+    q_ref,  # [B, D]   (whole padded query block, VMEM-resident)
+    g_ref,  # [TG, D]  (streamed gallery tile)
+    # outputs
+    out_d_ref,  # [B, k]
+    out_i_ref,  # [B, k]
+    # scratch
+    best_d,  # VMEM [B, k]
+    best_i,  # VMEM [B, k]
+    qsq,  # VMEM [B, 1] cached |q|^2 over the window
+    *,
+    k: int,
+    tile_g: int,
+    windowed: bool,
+    precise: bool,
+):
+    j = pl.program_id(0)
+    n_tiles_g = pl.num_programs(0)
+
+    if windowed:
+        start = window_ref[0]
+        end = window_ref[1]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, q_ref.shape[1]), 1)
+        fmask = (lanes >= start) & (lanes < end)
+    else:
+        fmask = None
+
+    def masked(x):
+        return x * fmask.astype(x.dtype) if fmask is not None else x
+
+    @pl.when(j == 0)
+    def _init():
+        best_d[:] = jnp.full_like(best_d, BIG_DIST)
+        best_i[:] = jnp.full_like(best_i, -1)
+        qf = masked(q_ref[:]).astype(jnp.float32)
+        qsq[:] = jnp.sum(qf * qf, axis=1, keepdims=True)
+
+    q = masked(q_ref[:])
+    g = masked(g_ref[:])
+    gf = g.astype(jnp.float32)
+    gn = jnp.sum(gf * gf, axis=1, keepdims=True)  # [TG, 1]
+    cross = jax.lax.dot_general(
+        q,
+        g,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=(
+            jax.lax.Precision.HIGHEST if precise else jax.lax.Precision.DEFAULT
+        ),
+    )  # [B, TG]
+    tile_d = jnp.maximum(qsq[:] + gn.reshape(1, -1) - 2.0 * cross, 0.0)
+
+    # Mask padded gallery rows beyond the true N.
+    tile_base = j * tile_g
+    cols = jax.lax.broadcasted_iota(jnp.int32, tile_d.shape, 1) + tile_base
+    tile_d = jnp.where(cols < n_valid_ref[0], tile_d, BIG_DIST)
+
+    new_d, new_i = _merge_topk(best_d[:], best_i[:], tile_d, tile_base, k)
+    best_d[:] = new_d
+    best_i[:] = new_i
+
+    @pl.when(j == n_tiles_g - 1)
+    def _emit():
+        out_d_ref[:] = best_d[:]
+        out_i_ref[:] = best_i[:]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "tile_g", "interpret", "window", "precise"),
+)
+def _topk_l2_block(
+    queries: jax.Array,  # [Bp, D] (Bp <= MAX_QUERY_BLOCK, multiple of 8)
+    gallery: jax.Array,  # [Np, D] (padded to tile_g)
+    n_valid: jax.Array,  # [1] int32
+    k: int,
+    tile_g: int,
+    interpret: bool,
+    window: Optional[Tuple[int, int]],
+    precise: bool,
+):
+    bp, d = queries.shape
+    np_, _ = gallery.shape
+    grid = (np_ // tile_g,)
+    windowed = window is not None
+    win = jnp.asarray(window if windowed else (0, d), dtype=jnp.int32)
+
+    kernel = functools.partial(
+        _topk_kernel, k=k, tile_g=tile_g, windowed=windowed, precise=precise
+    )
+    out_d, out_i = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bp, d), lambda j, *_: (0, 0)),
+                pl.BlockSpec((tile_g, d), lambda j, *_: (j, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((bp, k), lambda j, *_: (0, 0)),
+                pl.BlockSpec((bp, k), lambda j, *_: (0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bp, k), jnp.float32),
+                pltpu.VMEM((bp, k), jnp.int32),
+                pltpu.VMEM((bp, 1), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, k), jnp.float32),
+            jax.ShapeDtypeStruct((bp, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * np_ * d,
+            bytes_accessed=int(np_ * d * gallery.dtype.itemsize),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(n_valid, win, queries, gallery)
+    return out_d, out_i
+
+
+def pad_gallery(gallery: jax.Array, tile_g: int = 512) -> jax.Array:
+    """Pad gallery rows to a tile multiple (do this ONCE at build time)."""
+    n = gallery.shape[0]
+    np_ = _round_up(max(n, tile_g), tile_g)
+    if np_ == n:
+        return gallery
+    return jnp.pad(gallery, ((0, np_ - n), (0, 0)))
+
+
+def topk_l2(
+    queries: jax.Array,
+    gallery: jax.Array,
+    k: int = 1,
+    *,
+    n_valid: Optional[int] = None,
+    tile_g: int = 512,
+    window: Optional[Tuple[int, int]] = None,
+    precise: bool = False,
+    interpret: Optional[bool] = None,
+    query_block: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused L2 top-k over an HBM-resident gallery.
+
+    queries: [B, D]; batches larger than ``query_block`` are chunked so the
+    query block always fits VMEM. gallery: [N, D]; pass a ``pad_gallery``-
+    padded array plus ``n_valid`` to avoid a per-call pad copy. ``precise``
+    keeps full fp32 MXU passes for parity with the scalar reference
+    (db_features.cpp:22-42); the default converts fp32 galleries to bf16 to
+    run at full MXU rate. Returns (distances [B, k] window means, indices
+    [B, k]) — distances are normalized by the window length
+    (db_features.cpp:40).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if query_block is None:
+        # fp32 HIGHEST-precision passes need larger MXU scratch; halve the
+        # VMEM-resident query block to stay under the scoped-vmem limit.
+        query_block = 256 if precise else MAX_QUERY_BLOCK
+    b, d = queries.shape
+    n = n_valid if n_valid is not None else gallery.shape[0]
+
+    gallery = pad_gallery(gallery, tile_g)
+    if not precise and gallery.dtype == jnp.float32:
+        gallery = gallery.astype(jnp.bfloat16)
+    queries = jnp.asarray(queries).astype(gallery.dtype)
+    nv = jnp.asarray([n], dtype=jnp.int32)
+
+    outs_d = []
+    outs_i = []
+    for s in range(0, b, query_block):
+        chunk = queries[s : s + query_block]
+        bc = chunk.shape[0]
+        bp = _round_up(max(bc, 8), 8)
+        if bp != bc:
+            chunk = jnp.pad(chunk, ((0, bp - bc), (0, 0)))
+        od, oi = _topk_l2_block(
+            chunk, gallery, nv, k, tile_g, interpret, window, precise
+        )
+        outs_d.append(od[:bc])
+        outs_i.append(oi[:bc])
+    out_d = jnp.concatenate(outs_d, axis=0) if len(outs_d) > 1 else outs_d[0]
+    out_i = jnp.concatenate(outs_i, axis=0) if len(outs_i) > 1 else outs_i[0]
+    width = (window[1] - window[0]) if window is not None else d
+    return out_d / width, out_i

@@ -1,0 +1,71 @@
+"""Exact 1-NN over the full gallery.
+
+Reference: the scalar linear scan in qt_cpp/db_features.cpp:319-335 and
+qt_cpp/ann.cpp:113-126, with the optional feature-prefix truncation
+``max_features``. Here the scan is one batched device computation: an
+MXU distance block plus argmin, jitted once per (batch, gallery) shape.
+Large galleries go through the blocked Pallas kernel
+(ops/distance_kernel.py) to avoid materializing [B, N] score matrices.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fast_image_recognition_tpu.config import DistanceKind
+from fast_image_recognition_tpu.ops.distances import pairwise_distances
+
+
+@partial(jax.jit, static_argnames=("kind", "max_features", "precise"))
+def _top1(
+    queries: jax.Array,
+    gallery: jax.Array,
+    kind: DistanceKind,
+    max_features: Optional[int],
+    precise: bool,
+):
+    end = max_features if max_features else queries.shape[-1]
+    d = pairwise_distances(queries, gallery, start=0, end=end, kind=kind, precise=precise)
+    idx = jnp.argmin(d, axis=1)
+    best = jnp.take_along_axis(d, idx[:, None], axis=1)[:, 0]
+    return idx.astype(jnp.int32), best
+
+
+class BruteForceMatcher:
+    """Exact 1-NN (name "BF" in the reference printouts, ann.h:45)."""
+
+    def __init__(
+        self,
+        gallery_features: np.ndarray,
+        kind: DistanceKind = DistanceKind.L2,
+        max_features: Optional[int] = None,
+        precise: bool = True,
+        device_resident: bool = True,
+    ):
+        self.name = f"BF, {max_features}" if max_features else "BF"
+        self.kind = kind
+        self.max_features = max_features
+        self.precise = precise
+        gal = jnp.asarray(gallery_features, dtype=jnp.float32)
+        self.gallery = jax.device_put(gal) if device_resident else gal
+        self._n = gallery_features.shape[0]
+
+    def set_budget(self, image_count_to_check: int) -> None:
+        pass  # exact method: budget has no meaning
+
+    def search(self, queries: np.ndarray):
+        from fast_image_recognition_tpu.search.base import SearchResult
+
+        q = jnp.asarray(queries, dtype=jnp.float32)
+        idx, best = _top1(q, self.gallery, self.kind, self.max_features, self.precise)
+        b = int(q.shape[0])
+        return SearchResult(
+            indices=np.asarray(idx),
+            distances=np.asarray(best),
+            checked_fraction=np.ones(b, dtype=np.float32),
+        )
