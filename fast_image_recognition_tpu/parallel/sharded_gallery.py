@@ -1,0 +1,174 @@
+"""Mesh-sharded gallery search with top-k merge over ICI.
+
+The TP analog of SURVEY.md §2.3: the [N, D] gallery is sharded on N across
+the ``gallery`` mesh axis (each chip holds an HBM-resident slice), every
+chip runs the fused Pallas distance/top-k kernel over its local slice, and
+the per-chip top-k candidate sets — k entries each, not the full score
+row — are merged with one ``all_gather`` over ICI followed by an O(devices*k)
+selection. Communication per query is ``devices * k * 8`` bytes regardless
+of gallery size.
+
+Queries can additionally be sharded over the ``data`` axis (pure DP — no
+collective needed on that axis since each query's result is independent).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from fast_image_recognition_tpu.ops.distance_kernel import (
+    pad_gallery,
+    topk_l2,
+)
+
+BIG_DIST = 3.4e38
+
+
+def _merge_gathered(
+    gat_d: jax.Array,  # [S, B, k] distances from all shards
+    gat_i: jax.Array,  # [S, B, k] global indices from all shards
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    s, b, _ = gat_d.shape
+    flat_d = jnp.moveaxis(gat_d, 0, 1).reshape(b, s * k)
+    flat_i = jnp.moveaxis(gat_i, 0, 1).reshape(b, s * k)
+    merged_d, pos = jax.lax.top_k(-flat_d, k)
+    merged_i = jnp.take_along_axis(flat_i, pos, axis=1)
+    return -merged_d, merged_i
+
+
+def sharded_topk_l2(
+    queries: jax.Array,
+    gallery_sharded: jax.Array,  # [N_pad, D] sharded over 'gallery' on dim 0
+    mesh: Mesh,
+    k: int = 1,
+    *,
+    n_valid_per_shard: Optional[np.ndarray] = None,
+    window: Optional[Tuple[int, int]] = None,
+    precise: bool = False,
+    tile_g: int = 512,
+) -> Tuple[jax.Array, jax.Array]:
+    """Global top-k over a gallery sharded across ``mesh`` axis 'gallery'.
+
+    ``gallery_sharded`` must already be placed with
+    ``NamedSharding(mesh, P('gallery', None))`` and row-padded so each shard
+    has the same row count (use ``shard_gallery``). Returns global
+    (distances [B, k], indices [B, k]) — indices refer to the unpadded
+    concatenated gallery.
+    """
+    n_shards = mesh.shape["gallery"]
+    rows_per_shard = gallery_sharded.shape[0] // n_shards
+    if n_valid_per_shard is None:
+        n_valid_per_shard = np.full(n_shards, rows_per_shard, dtype=np.int32)
+    nv = jnp.asarray(n_valid_per_shard, dtype=jnp.int32)
+
+    def local_search(q, g_local, nv_local):
+        shard = jax.lax.axis_index("gallery")
+        # Rows beyond this shard's valid count are zero padding whose
+        # distance (|q|^2/width) can undercut real matches — they must be
+        # masked inside the kernel (n_valid), not after top-k extraction.
+        d, i = topk_l2(
+            q,
+            g_local,
+            k=k,
+            n_valid=nv_local[0],
+            window=window,
+            precise=precise,
+            tile_g=tile_g,
+        )
+        valid = i < nv_local[0]
+        d = jnp.where(valid, d, BIG_DIST)
+        i = jnp.where(valid, i + shard * rows_per_shard, -1)
+        gat_d = jax.lax.all_gather(d, "gallery")  # [S, B, k] over ICI
+        gat_i = jax.lax.all_gather(i, "gallery")
+        return _merge_gathered(gat_d, gat_i, k)
+
+    fn = shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=(P(), P("gallery", None), P("gallery")),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    d, i = fn(queries, gallery_sharded, nv)
+    width = (window[1] - window[0]) if window is not None else queries.shape[-1]
+    # topk_l2 already divides by the window; undo double-normalization is not
+    # needed — local results are final distances.
+    return d, i
+
+
+def shard_gallery(
+    gallery: np.ndarray,
+    mesh: Mesh,
+    tile_g: int = 512,
+    dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, np.ndarray]:
+    """Pad + place a host gallery across the mesh's 'gallery' axis.
+
+    Returns (device array [S*rows, D] sharded on dim 0, per-shard valid row
+    counts)."""
+    n_shards = mesh.shape["gallery"]
+    n, d = gallery.shape
+    rows = -(-n // n_shards)  # ceil
+    rows = -(-rows // tile_g) * tile_g  # round up to kernel tile
+    n_valid = np.asarray(
+        [max(0, min(rows, n - s * rows)) for s in range(n_shards)],
+        dtype=np.int32,
+    )
+    padded = np.zeros((n_shards * rows, d), dtype=np.float32)
+    padded[:n] = gallery
+    sharding = NamedSharding(mesh, P("gallery", None))
+    arr = jax.device_put(jnp.asarray(padded, dtype=dtype), sharding)
+    return arr, n_valid
+
+
+class ShardedGalleryMatcher:
+    """Matcher-protocol wrapper: exact 1-NN over a mesh-sharded gallery."""
+
+    def __init__(
+        self,
+        gallery_features: np.ndarray,
+        mesh: Mesh,
+        kind=None,  # only L2 is accelerated; kept for API symmetry
+        precise: bool = False,
+        tile_g: int = 512,
+    ):
+        self.name = f"BF(sharded x{mesh.shape['gallery']})"
+        self.mesh = mesh
+        self.precise = precise
+        self.tile_g = tile_g
+        dtype = jnp.float32 if precise else jnp.bfloat16
+        self.gallery, self.n_valid = shard_gallery(
+            gallery_features, mesh, tile_g=tile_g, dtype=dtype
+        )
+        self._n = gallery_features.shape[0]
+
+    def set_budget(self, image_count_to_check: int) -> None:
+        pass
+
+    def search(self, queries: np.ndarray):
+        from fast_image_recognition_tpu.search.base import SearchResult
+
+        q = jnp.asarray(queries, dtype=jnp.float32)
+        d, i = sharded_topk_l2(
+            q,
+            self.gallery,
+            self.mesh,
+            k=1,
+            n_valid_per_shard=self.n_valid,
+            precise=self.precise,
+            tile_g=self.tile_g,
+        )
+        b = int(q.shape[0])
+        return SearchResult(
+            indices=np.asarray(i)[:, 0],
+            distances=np.asarray(d)[:, 0],
+            checked_fraction=np.ones(b, dtype=np.float32),
+        )
