@@ -1,0 +1,164 @@
+"""End-to-end sequential (early-exit) inference over backbone segments.
+
+Reference: the "proposed pipeline" of tf_keras/sequential_inference.py
+:1278-1396 — trained LinearSVC weights are baked into Dense layers appended
+to each exit tap after L2 normalization (:1350-1366), and true sequential
+inference runs the backbone *segment by segment*, stopping each image at the
+first exit whose max score clears the threshold (:1368-1394).
+
+TPU design: early exit conflicts with lockstep batching (SURVEY.md §7 hard
+part 3), so the engine uses **batch compaction**: after each segment, probes
+that exited are removed on the host and the surviving subset — padded to a
+small set of static bucket sizes to bound recompilation — continues into the
+next segment. Easy images really do stop paying FLOPs at cheap levels, and
+every segment call stays a statically-shaped jitted computation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fast_image_recognition_tpu.models.efficientnet import (
+    EfficientNet,
+    block_plan,
+)
+
+
+def _bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    predictions: np.ndarray
+    exit_level: np.ndarray
+    break_counts: np.ndarray
+    ms_per_image: float
+
+
+class SequentialInferencePipeline:
+    """Backbone segments + baked linear exit heads + batch compaction."""
+
+    def __init__(
+        self,
+        model: EfficientNet,
+        variables,
+        taps: Sequence[str],
+        coefs: Sequence[np.ndarray],  # per level [C, F_l] (+ final)
+        intercepts: Sequence[np.ndarray],
+        thresholds: Sequence[float],  # per non-final level
+        buckets: Sequence[int] = (32, 128, 512),
+        l2_normalize: bool = True,
+    ):
+        self.model = model
+        self.variables = variables
+        plan = block_plan(model.variant)
+        name_to_idx = {b["name"]: i for i, b in enumerate(plan)}
+        tap_idx = [name_to_idx[t] for t in taps]
+        assert tap_idx == sorted(tap_idx), "taps must be in network order"
+        # segments: [0, t0+1), [t0+1, t1+1), ..., [t_last+1, n_blocks)
+        bounds = [0] + [i + 1 for i in tap_idx] + [len(plan)]
+        self.segments = list(zip(bounds[:-1], bounds[1:]))
+        self.num_levels = len(self.segments)  # taps + final
+        assert len(coefs) == self.num_levels
+        self.coefs = [jnp.asarray(c, jnp.float32) for c in coefs]
+        self.intercepts = [jnp.asarray(b, jnp.float32) for b in intercepts]
+        self.thresholds = list(thresholds)
+        self.buckets = sorted(buckets)
+        self.l2_normalize = l2_normalize
+        self._seg_fns = {}
+
+    def _segment_fn(self, level: int, final: bool):
+        start, end = self.segments[level]
+        coef, intercept = self.coefs[level], self.intercepts[level]
+        model = self.model
+        l2 = self.l2_normalize
+
+        def fn(variables, x):
+            m = model.bind(variables)
+            if start == 0:
+                x = m.stem(x.astype(m.dtype))
+                h = m.run_blocks(x, 0, end)
+            else:
+                h = m.run_blocks(x, start, end)
+            if final:
+                emb = m.head_pool(h)
+            else:
+                emb = jnp.mean(h, axis=(1, 2)).astype(jnp.float32)
+            if l2:
+                emb = emb / jnp.maximum(
+                    jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-12
+                )
+            scores = emb @ coef.T + intercept  # baked Dense (:1350-1366)
+            return h, scores
+
+        return jax.jit(fn)
+
+    def _get_seg(self, level: int):
+        final = level == self.num_levels - 1
+        if level not in self._seg_fns:
+            self._seg_fns[level] = self._segment_fn(level, final)
+        return self._seg_fns[level]
+
+    def predict(self, images: np.ndarray, warmup: bool = False) -> PipelineResult:
+        b = images.shape[0]
+        preds = np.zeros(b, dtype=np.int64)
+        exit_level = np.full(b, self.num_levels - 1, dtype=np.int64)
+        active = np.arange(b)
+        x = np.asarray(images, np.float32)
+
+        t0 = time.perf_counter()
+        carry = x
+        max_b = self.buckets[-1]
+        for level in range(self.num_levels):
+            if active.size == 0:
+                break
+            surv_idx = []
+            surv_carry = []
+            for s in range(0, active.size, max_b):
+                idx = active[s : s + max_b]
+                chunk = carry[s : s + max_b]
+                bucket = _bucket(len(idx), self.buckets)
+                if chunk.shape[0] < bucket:
+                    pad = np.zeros(
+                        (bucket - chunk.shape[0],) + chunk.shape[1:], chunk.dtype
+                    )
+                    chunk = np.concatenate([chunk, pad], axis=0)
+                h, scores = self._get_seg(level)(
+                    self.variables, jnp.asarray(chunk)
+                )
+                scores = np.asarray(scores)[: len(idx)]
+                level_pred = scores.argmax(axis=1)
+                if level == self.num_levels - 1:
+                    fire = np.ones(len(idx), dtype=bool)
+                else:
+                    fire = scores.max(axis=1) > self.thresholds[level]
+                preds[idx[fire]] = level_pred[fire]
+                exit_level[idx[fire]] = level
+                keep = ~fire
+                if keep.any():
+                    surv_idx.append(idx[keep])
+                    surv_carry.append(np.asarray(h)[: len(idx)][keep])
+            if surv_idx:
+                active = np.concatenate(surv_idx)
+                carry = np.concatenate(surv_carry, axis=0)
+            else:
+                active = np.empty(0, dtype=np.int64)
+        elapsed = time.perf_counter() - t0
+
+        counts = np.bincount(exit_level, minlength=self.num_levels) / b
+        return PipelineResult(
+            predictions=preds,
+            exit_level=exit_level,
+            break_counts=counts,
+            ms_per_image=1000.0 * elapsed / b,
+        )

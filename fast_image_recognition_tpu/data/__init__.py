@@ -9,4 +9,7 @@ from fast_image_recognition_tpu.data.splits import (  # noqa: F401
     split_by_class_fraction,
     train_test_split_images,
 )
-from fast_image_recognition_tpu.data.synthetic import make_synthetic_gallery  # noqa: F401
+from fast_image_recognition_tpu.data.synthetic import (  # noqa: F401
+    make_gallery_and_probes,
+    make_synthetic_gallery,
+)

@@ -40,3 +40,28 @@ def make_synthetic_gallery(
         np.arange(num_classes, dtype=np.int32), images_per_class
     )
     return feats, labels
+
+
+def make_gallery_and_probes(
+    num_classes: int,
+    gallery_per_class: int,
+    probes_per_class: int,
+    num_features: int,
+    seed: int = 123,
+    within_class_noise: float = 0.35,
+):
+    """One clustered pool split into (gallery, glabels, probes, plabels) —
+    probes share the gallery's class centers (unlike two independent
+    ``make_synthetic_gallery`` calls, whose centers are unrelated)."""
+    per = gallery_per_class + probes_per_class
+    feats, labels = make_synthetic_gallery(
+        num_classes, per, num_features, seed=seed,
+        within_class_noise=within_class_noise,
+    )
+    gal_mask = (np.arange(feats.shape[0]) % per) < gallery_per_class
+    return (
+        feats[gal_mask],
+        labels[gal_mask],
+        feats[~gal_mask],
+        labels[~gal_mask],
+    )

@@ -1,0 +1,158 @@
+"""Exit-policy cascades (tf_keras/sequential_inference.py parity targets)
+and the segment-compaction inference engine."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fast_image_recognition_tpu.cascade.exits import (
+    LinearExitCascade,
+    entropy_exit_cascade,
+    knn_exits_with_final_classifier,
+    sequential_knn_cascade,
+    train_linear_svc,
+    tune_far_threshold,
+)
+from fast_image_recognition_tpu.data import make_gallery_and_probes
+
+
+@pytest.fixture(scope="module")
+def levels():
+    """Three 'levels' of embeddings with increasing quality (noise shrinking)
+    — emulating cheap -> expensive exits over one dataset."""
+    out = []
+    for noise in (1.6, 0.8, 0.3):
+        g, gl, p, pl = make_gallery_and_probes(
+            12, 15, 4, 64, seed=91, within_class_noise=noise
+        )
+        out.append((g, gl, p, pl))
+    x_train = [o[0] for o in out]
+    y_train = out[0][1]
+    x_val = [o[2] for o in out]
+    y_val = out[0][3]
+    return x_train, y_train, x_val, y_val
+
+
+def test_sequential_knn_cascade(levels):
+    x_train, y_train, x_val, y_val = levels
+    res = sequential_knn_cascade(x_train, y_train, x_val, ratio=0.8)
+    assert res.predictions.shape == y_val.shape
+    assert np.isclose(res.break_counts.sum(), 1.0)
+    acc = (res.predictions == y_val).mean()
+    # must beat the worst single level (cheap exits only fire when unanimous)
+    level0 = sequential_knn_cascade(x_train[:1], y_train, x_val[:1])
+    assert acc >= (level0.predictions == y_val).mean() - 0.05
+
+
+def test_knn_cascade_late_levels_help(levels):
+    x_train, y_train, x_val, y_val = levels
+    res = sequential_knn_cascade(x_train, y_train, x_val, ratio=0.8)
+    # some probes must exit early AND some must continue past level 0
+    assert res.break_counts[0] > 0
+    assert res.break_counts[0] < 1.0
+
+
+def test_linear_exit_cascade_far_tuned(levels):
+    x_train, y_train, x_val, y_val = levels
+    cascade = LinearExitCascade.train(x_train, y_train, num_classes=12, far=0.01)
+    res = cascade.evaluate(x_val)
+    acc = (res.predictions == y_val).mean()
+    assert acc > 0.8
+    assert len(cascade.thresholds) == 3
+    assert cascade.thresholds[-1] == -1.0  # final level always fires
+
+
+def test_linear_exit_cascade_fixed_threshold(levels):
+    x_train, y_train, x_val, y_val = levels
+    cascade = LinearExitCascade.train(
+        x_train, y_train, num_classes=12, fixed_threshold=0.06
+    )
+    res = cascade.evaluate(x_val)
+    assert np.isclose(res.break_counts.sum(), 1.0)
+
+
+def test_linear_svc_jax_fallback(levels):
+    x_train, y_train, _, _ = levels
+    w, b = train_linear_svc(x_train[2], y_train, 12, use_sklearn=False)
+    acc = ((x_train[2] @ w.T + b).argmax(1) == y_train).mean()
+    assert acc > 0.9
+
+
+def test_tune_far_threshold_blocks_mistakes():
+    rng = np.random.default_rng(0)
+    n, c = 400, 5
+    y = rng.integers(0, c, n)
+    dv = rng.normal(0, 0.1, (n, c))
+    dv[np.arange(n), y] += 1.0  # mostly correct with score ~1
+    # corrupt 10%: wrong argmax with LOWER max score (the separable case the
+    # reference's threshold walk can actually block, :622-631)
+    bad = rng.choice(n, 40, replace=False)
+    dv[bad] = rng.normal(0, 0.1, (40, c))
+    dv[bad, (y[bad] + 1) % c] += 0.5
+    t = tune_far_threshold(dv, y, far=0.01)
+    preds = dv.argmax(1)
+    accepted = dv.max(1) > t
+    far = ((preds != y) & accepted).sum() / n
+    assert far <= 0.015
+    # most correct predictions must still be accepted
+    assert ((preds == y) & accepted).sum() / n > 0.5
+
+
+def test_entropy_cascade_modes():
+    rng = np.random.default_rng(1)
+    lvl1 = rng.dirichlet(np.ones(6) * 0.3, 100)  # confident-ish
+    lvl2 = rng.dirichlet(np.ones(6) * 0.3, 100)
+    res_e = entropy_exit_cascade([lvl1, lvl2], threshold=0.8, mode="entropy")
+    res_p = entropy_exit_cascade([lvl1, lvl2], threshold=0.7, mode="max_prob")
+    for res in (res_e, res_p):
+        assert np.isclose(res.break_counts.sum(), 1.0)
+        assert res.break_counts[0] > 0  # some confident exits
+
+
+def test_hybrid_knn_svc(levels):
+    x_train, y_train, x_val, y_val = levels
+    res = knn_exits_with_final_classifier(
+        x_train, y_train, x_val, num_classes=12, ratio=0.8
+    )
+    assert (res.predictions == y_val).mean() > 0.75
+
+
+def test_segment_pipeline_end_to_end():
+    from fast_image_recognition_tpu.cascade.engine import SequentialInferencePipeline
+    from fast_image_recognition_tpu.models import create_efficientnet, default_taps
+
+    num_classes = 5
+    model, variables = create_efficientnet("b0", 0, resolution=32)
+    taps = default_taps("b0")
+    images = np.random.default_rng(0).normal(size=(12, 32, 32, 3)).astype(np.float32)
+
+    # random heads with matching dims
+    out = model.apply(variables, jnp.asarray(images[:1]), taps=taps)
+    dims = [int(out["taps"][t].shape[-1]) for t in taps] + [
+        int(out["embedding"].shape[-1])
+    ]
+    rng = np.random.default_rng(0)
+    coefs = [rng.normal(0, 0.1, (num_classes, d)).astype(np.float32) for d in dims]
+    intercepts = [np.zeros(num_classes, dtype=np.float32) for _ in dims]
+
+    # threshold -inf: everyone exits at level 0
+    pipe = SequentialInferencePipeline(
+        model, variables, taps, coefs, intercepts,
+        thresholds=[-1e9] * (len(dims) - 1), buckets=(8, 16),
+    )
+    res = pipe.predict(images)
+    assert res.break_counts[0] == 1.0
+    # threshold +inf: everyone reaches the final level
+    pipe2 = SequentialInferencePipeline(
+        model, variables, taps, coefs, intercepts,
+        thresholds=[1e9] * (len(dims) - 1), buckets=(8, 16),
+    )
+    res2 = pipe2.predict(images)
+    assert res2.break_counts[-1] == 1.0
+
+    # level-0 predictions must equal the standalone tap computation
+    full = model.apply(variables, jnp.asarray(images), taps=taps)
+    emb0 = np.asarray(full["taps"][taps[0]])
+    emb0 = emb0 / np.linalg.norm(emb0, axis=1, keepdims=True)
+    want = (emb0 @ coefs[0].T + intercepts[0]).argmax(1)
+    np.testing.assert_array_equal(res.predictions, want)

@@ -1,0 +1,101 @@
+"""Directed Enumeration Method: TPU batched implementation vs the
+sequential NumPy oracle (qt_cpp/ann.cpp:269-507 PIVOT semantics)."""
+
+import numpy as np
+import pytest
+
+from fast_image_recognition_tpu.data import make_gallery_and_probes
+from fast_image_recognition_tpu.evaluation import evaluate_matcher
+from fast_image_recognition_tpu.ops import oracle_pairwise
+from fast_image_recognition_tpu.search import BruteForceMatcher
+from fast_image_recognition_tpu.search.dem import (
+    DirectedEnumerationMatcher,
+    dem_oracle_search,
+    select_pivots,
+)
+
+
+@pytest.fixture(scope="module")
+def data():
+    return make_gallery_and_probes(32, 12, 2, 96, seed=71)  # N=384
+
+
+@pytest.fixture(scope="module")
+def matcher(data):
+    gallery, glabels, _, _ = data
+    return DirectedEnumerationMatcher(gallery, glabels, seed=3)
+
+
+def test_pivot_selection_properties(data):
+    gallery, glabels, _, _ = data
+    rng = np.random.default_rng(0)
+    pivots, p_matrix, other_min = select_pivots(gallery, glabels, rng)
+    n = gallery.shape[0]
+    want_count = min(32, max(5, int(n * 0.015)))
+    assert len(pivots) == want_count
+    assert len(set(pivots.tolist())) == len(pivots)  # distinct
+    assert p_matrix.shape == (len(pivots), n)
+    # each P row must be the distances from that pivot
+    for i in [0, len(pivots) - 1]:
+        want = oracle_pairwise(gallery[pivots[i]][None], gallery)[0]
+        np.testing.assert_allclose(p_matrix[i], want, rtol=1e-5)
+
+
+def test_matches_oracle_probe_semantics(data, matcher):
+    gallery, glabels, probes, _ = data
+    budget = 60
+    matcher.set_budget(budget)
+    res = matcher.search(probes)
+    agree = 0
+    checked_close = 0
+    for i in range(probes.shape[0]):
+        oi, od, oc = dem_oracle_search(probes[i], gallery, matcher.index, budget)
+        agree += int(res.indices[i] == oi)
+        tpu_checked = int(round(res.checked_fraction[i] * gallery.shape[0]))
+        checked_close += int(abs(tpu_checked - oc) <= 2)
+    # fp32 vs fp64 likelihood near-ties may reorder rare probes
+    assert agree >= int(0.92 * probes.shape[0])
+    assert checked_close >= int(0.9 * probes.shape[0])
+
+
+def test_full_budget_matches_brute_force(data, matcher):
+    gallery, glabels, probes, _ = data
+    matcher.set_budget(0)  # full gallery
+    res = matcher.search(probes)
+    bf = BruteForceMatcher(gallery).search(probes)
+    # with an unlimited budget DEM may still early-exit below threshold, but
+    # the returned label must match BF's class on separable data
+    assert (glabels[res.indices] == glabels[bf.indices]).mean() >= 0.95
+
+
+def test_accuracy_improves_with_budget(data):
+    gallery, glabels, probes, plabels = data
+    # disable the FAR early-exit (tiny threshold) so the budget is the only
+    # stopping rule and checked%% must grow with it
+    matcher = DirectedEnumerationMatcher(gallery, glabels, seed=5, threshold=1e-12)
+    errors = []
+    checked = []
+    for ratio in (0.05, 0.2, 0.6):
+        matcher.set_budget(int(ratio * gallery.shape[0]))
+        r = evaluate_matcher(
+            matcher, glabels, probes, plabels, num_classes=32, verbose=False
+        )
+        errors.append(r.error_rate)
+        checked.append(r.checked_percent)
+    assert errors[-1] <= errors[0] + 1e-9
+    assert checked[0] < checked[-1] <= 100.0
+
+
+def test_early_exit_reduces_checked(data):
+    """With the FAR threshold active, easy probes (exact gallery rows) must
+    exit after a handful of probes."""
+    gallery, glabels, _, _ = data
+    matcher = DirectedEnumerationMatcher(gallery, glabels, seed=7)
+    matcher.set_budget(gallery.shape[0])
+    res = matcher.search(gallery[:16])  # self-queries: distance 0 < threshold
+    n = gallery.shape[0]
+    assert (res.checked_fraction * n <= len(matcher.index.pivot_indices) + 2).all()
+    # Early exit accepts the FIRST probe below threshold (ann.cpp:396-399),
+    # which for a near-duplicate may be a same-class pivot, not the query
+    # row itself — assert class-level correctness.
+    np.testing.assert_array_equal(glabels[res.indices], glabels[:16])
