@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""testANN driver — ANN-method comparison (qt_cpp/ann.cpp:24-81).
+
+Runs exact brute force, then the budgeted methods (DEM; sharded BF when a
+multi-device mesh is available) over the reference's check-budget sweep
+ratio 0.025..0.5 step 0.025 (ann.cpp:61-70), printing the
+testSetRecognition line per method.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from common import add_dataset_args, load_dataset
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_dataset_args(parser)
+    parser.add_argument("--ratio-start", type=float, default=0.025)
+    parser.add_argument("--ratio-stop", type=float, default=0.5)
+    parser.add_argument("--ratio-step", type=float, default=0.025)
+    parser.add_argument("--far", type=float, default=0.01)
+    args = parser.parse_args()
+
+    import jax
+
+    from fast_image_recognition_tpu.evaluation import evaluate_matcher
+    from fast_image_recognition_tpu.search import BruteForceMatcher
+    from fast_image_recognition_tpu.search.dem import DirectedEnumerationMatcher
+
+    gallery, glabels, probes, plabels, num_classes = load_dataset(args)
+    print(
+        f"dbSize={gallery.shape[0]} testSize={probes.shape[0]} "
+        f"classes={num_classes} D={gallery.shape[1]} "
+        f"devices={len(jax.devices())}"
+    )
+
+    bf = BruteForceMatcher(gallery)
+    evaluate_matcher(bf, glabels, probes, plabels, num_classes=num_classes)
+
+    dem = DirectedEnumerationMatcher(
+        gallery, glabels, false_accept_rate=args.far, seed=args.seed
+    )
+    ratio = args.ratio_start
+    while ratio <= args.ratio_stop + 1e-9:
+        print(f"ratio{ratio:g}")
+        dem.set_budget(int(ratio * gallery.shape[0]))
+        evaluate_matcher(dem, glabels, probes, plabels, num_classes=num_classes)
+        ratio += args.ratio_step
+
+
+if __name__ == "__main__":
+    main()

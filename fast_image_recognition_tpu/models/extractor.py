@@ -157,8 +157,10 @@ def extract_dataset_to_file(
     feature file in the 3-line format. Returns image count."""
     from fast_image_recognition_tpu.data.feature_io import write_feature_file
 
-    extractor = FeatureExtractor(variant, variables=variables, mesh=mesh)
+    if not os.path.isdir(root):
+        raise FileNotFoundError(f"dataset root is not a directory: {root}")
     paths, labels, class_names = list_image_dataset(root)
+    extractor = FeatureExtractor(variant, variables=variables, mesh=mesh)
     images, kept = load_images(paths, extractor.resolution)
     labels = [labels[i] for i in kept]
     names = [os.path.basename(paths[i]) for i in kept]
