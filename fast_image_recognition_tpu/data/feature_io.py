@@ -102,8 +102,33 @@ def load_feature_file(
     skip_class_substrings: Sequence[str] = (),
     max_classes: Optional[int] = None,
     l2_normalize: bool = True,
+    engine: str = "auto",
 ) -> FeatureDB:
-    """Parse the 3-line-per-image text format (db_features.cpp:44-116)."""
+    """Parse the 3-line-per-image text format (db_features.cpp:44-116).
+
+    ``engine='auto'`` prefers the multi-threaded C++ parser
+    (runtime/ingest.cpp, built on demand) and falls back to this NumPy
+    implementation; 'native' requires it; 'python' forces the fallback."""
+    if engine in ("auto", "native"):
+        from fast_image_recognition_tpu.runtime.native import (
+            load_feature_file_native,
+        )
+
+        db = load_feature_file_native(
+            path,
+            features_count,
+            skip_class_substrings=skip_class_substrings,
+            max_classes=max_classes,
+            l2_normalize=l2_normalize,
+            with_file_names=True,
+        )
+        if db is not None:
+            return db
+        if engine == "native":
+            raise RuntimeError(
+                "native ingest library unavailable (build with "
+                "`make -C fast_image_recognition_tpu/runtime`)"
+            )
     file_names: List[str] = []
     class_names: List[str] = []
     class_index = {}

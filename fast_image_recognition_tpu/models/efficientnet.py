@@ -150,6 +150,8 @@ class MBConv(nn.Module):
     se_ratio: float
     drop_rate: float
     dtype: Any = jnp.bfloat16
+    # pruned hidden width (models/pruning.py surgery); None = in*expand
+    hidden_filters: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -161,7 +163,7 @@ class MBConv(nn.Module):
             name=name,
         )
         inputs = x
-        filters = self.in_filters * self.expand
+        filters = self.hidden_filters or self.in_filters * self.expand
         if self.expand != 1:
             x = nn.Conv(
                 filters, (1, 1), use_bias=False, dtype=self.dtype, name="expand_conv"
@@ -210,6 +212,9 @@ class EfficientNet(nn.Module):
     variant: str = "b0"
     num_classes: int = 0
     dtype: Any = jnp.bfloat16
+    # per-block hidden-width overrides from pruning surgery
+    # (models/pruning.py); maps block name -> pruned expanded width
+    hidden_overrides: Any = None
 
     def setup(self):
         v = VARIANTS[self.variant]
@@ -229,6 +234,7 @@ class EfficientNet(nn.Module):
             momentum=0.99, epsilon=1e-3, dtype=self.dtype, name="stem_bn"
         )
         total = len(self.plan)
+        overrides = dict(self.hidden_overrides or {})
         blocks = []
         for bi, cfg in enumerate(self.plan):
             blocks.append(
@@ -241,6 +247,7 @@ class EfficientNet(nn.Module):
                     se_ratio=cfg["se_ratio"],
                     drop_rate=0.2 * bi / total,  # linearly scaled drop-connect
                     dtype=self.dtype,
+                    hidden_filters=overrides.get(cfg["name"]),
                     name=cfg["name"],
                 )
             )
