@@ -23,6 +23,14 @@ def main() -> None:
     parser.add_argument("--ratio-stop", type=float, default=0.5)
     parser.add_argument("--ratio-step", type=float, default=0.025)
     parser.add_argument("--far", type=float, default=0.01)
+    parser.add_argument(
+        "--methods",
+        nargs="*",
+        default=["dem", "proj"],
+        choices=["dem", "proj", "kdtree"],
+        help="budgeted methods to sweep "
+        "(the reference compares DEM vs FLANN vs NMSLIB, ann.cpp:55-70)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -30,6 +38,10 @@ def main() -> None:
     from fast_image_recognition_tpu.evaluation import evaluate_matcher
     from fast_image_recognition_tpu.search import BruteForceMatcher
     from fast_image_recognition_tpu.search.dem import DirectedEnumerationMatcher
+    from fast_image_recognition_tpu.search.projection import (
+        KDTreeMatcher,
+        ProjectionIndexMatcher,
+    )
 
     gallery, glabels, probes, plabels, num_classes = load_dataset(args)
     print(
@@ -41,14 +53,24 @@ def main() -> None:
     bf = BruteForceMatcher(gallery)
     evaluate_matcher(bf, glabels, probes, plabels, num_classes=num_classes)
 
-    dem = DirectedEnumerationMatcher(
-        gallery, glabels, false_accept_rate=args.far, seed=args.seed
-    )
+    methods = []
+    if "kdtree" in args.methods:
+        methods.append(KDTreeMatcher(gallery))  # exact CPU baseline
+    if "dem" in args.methods:
+        methods.append(
+            DirectedEnumerationMatcher(
+                gallery, glabels, false_accept_rate=args.far, seed=args.seed
+            )
+        )
+    if "proj" in args.methods:
+        methods.append(ProjectionIndexMatcher(gallery, proj_dim=32, seed=args.seed))
+
     ratio = args.ratio_start
     while ratio <= args.ratio_stop + 1e-9:
         print(f"ratio{ratio:g}")
-        dem.set_budget(int(ratio * gallery.shape[0]))
-        evaluate_matcher(dem, glabels, probes, plabels, num_classes=num_classes)
+        for m in methods:
+            m.set_budget(int(ratio * gallery.shape[0]))
+            evaluate_matcher(m, glabels, probes, plabels, num_classes=num_classes)
         ratio += args.ratio_step
 
 

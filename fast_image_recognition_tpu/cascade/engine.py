@@ -162,3 +162,35 @@ class SequentialInferencePipeline:
             break_counts=counts,
             ms_per_image=1000.0 * elapsed / b,
         )
+
+    def measure_segment_latency(
+        self, images: np.ndarray, iters: int = 5
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-level and cumulative latency of the chained segments — the
+        ``test_functions`` probe (sequential_inference.py:1252-1275,
+        :888-896 cumulative per-level inference times). Timing queues
+        ``iters`` dispatches per segment and fetches once (the TPU tunnel's
+        block_until_ready is a no-op)."""
+        x = np.asarray(images, np.float32)
+        bucket = _bucket(x.shape[0], self.buckets)
+        if x.shape[0] < bucket:
+            x = np.concatenate(
+                [x, np.zeros((bucket - x.shape[0],) + x.shape[1:], x.dtype)]
+            )
+        per_level = []
+        carry = jnp.asarray(x)
+        for level in range(self.num_levels):
+            fn = self._get_seg(level)
+            h, scores = fn(self.variables, carry)  # compile + warm
+            _ = np.asarray(scores)
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(iters):
+                out = fn(self.variables, carry)
+            _ = np.asarray(out[1])
+            per_level.append(
+                1000.0 * (time.perf_counter() - t0) / (iters * images.shape[0])
+            )
+            carry = h
+        per_level = np.asarray(per_level)
+        return per_level, np.cumsum(per_level)

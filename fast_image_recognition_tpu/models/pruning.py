@@ -157,10 +157,60 @@ def taylor_importance(
     return np.abs(np.asarray(g))
 
 
+def leave_one_out_importance(
+    model: EfficientNet,
+    variables,
+    images: np.ndarray,
+    labels: np.ndarray,
+    num_classes: int,
+    block_index: int,
+    seed: int = 0,
+) -> np.ndarray:
+    """Leave-channel-out loss increase (keras_finetune_prune.py:223-317):
+    zero one block-output channel at a time and measure the loss delta on a
+    calibration batch; higher increase = more important. Measured on the
+    block output (like ``taylor_importance``) and propagated to the hidden
+    axis through |project_conv| by the caller. Runs as one ``lax.map`` over
+    channels — F sequential tail-forwards from the block."""
+    rng = np.random.default_rng(seed)
+    m = model.bind(variables)
+    emb_dim = m.head_filters
+    w = jnp.asarray(rng.normal(0, 0.01, (emb_dim, num_classes)), jnp.float32)
+    b = jnp.zeros((num_classes,), jnp.float32)
+    x = jnp.asarray(images, jnp.float32)
+    y = jnp.asarray(labels, jnp.int32)
+    out_filters = block_plan(model.variant)[block_index]["out_filters"]
+
+    def tail_loss(variables, block_out):
+        mm = model.bind(variables)
+        h = mm.run_blocks(block_out.astype(mm.dtype), block_index + 1, len(mm.blocks))
+        emb = mm.head_pool(h)
+        logits = emb @ w + b
+        onehot = jax.nn.one_hot(y, num_classes)
+        return -jnp.mean(jnp.sum(onehot * jax.nn.log_softmax(logits), axis=1))
+
+    def block_output(variables, x):
+        mm = model.bind(variables)
+        h = mm.stem(x.astype(mm.dtype))
+        h = mm.run_blocks(h, 0, block_index + 1)
+        return h
+
+    h = block_output(variables, x)
+    base = tail_loss(variables, h)
+
+    def drop_channel(ch):
+        mask = (jnp.arange(out_filters) != ch).astype(h.dtype)
+        return tail_loss(variables, h * mask)
+
+    losses = jax.lax.map(drop_channel, jnp.arange(out_filters))
+    return np.asarray(losses - base)
+
+
 METRICS: Dict[str, str] = {
     "l1": "L1 kernel norm (the reference's active metric)",
     "apoz": "average percentage of zeros",
     "taylor": "gradient x activation",
+    "leave_one_out": "leave-channel-out loss increase",
     "class_sep": "pairwise class separation",
     "random": "random control (prune_model_random, :552-571)",
 }
@@ -253,6 +303,15 @@ def prune_efficientnet(
                 np.asarray(params[name]["project_conv"]["kernel"])
             )[0, 0]  # [F, O]
             scores = proj @ out_scores
+        elif metric == "leave_one_out":
+            assert images is not None and labels is not None
+            out_scores = leave_one_out_importance(
+                model, variables, images, labels, num_classes, bi, seed=seed
+            )
+            proj = np.abs(
+                np.asarray(params[name]["project_conv"]["kernel"])
+            )[0, 0]
+            scores = proj @ np.maximum(out_scores, 0.0)
         else:  # class_sep on hidden activations
             assert images is not None and labels is not None
             scores = class_sep_hidden_scores(model, variables, images, labels, bi)

@@ -1,0 +1,156 @@
+"""Projection-index ANN baseline (NMSLIB proj_incsort analog,
+qt_cpp/ann.cpp:198-267), kd-tree baseline, image-list pipeline +
+augmentation, leave-one-out pruning metric, per-level timing probe."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fast_image_recognition_tpu.data import make_gallery_and_probes
+from fast_image_recognition_tpu.data.pipeline import (
+    AugmentConfig,
+    BatchGenerator,
+    augment_batch,
+    create_image_lists,
+)
+from fast_image_recognition_tpu.ops import oracle_pairwise
+from fast_image_recognition_tpu.search.projection import (
+    KDTreeMatcher,
+    ProjectionIndexMatcher,
+)
+
+
+@pytest.fixture(scope="module")
+def sets():
+    return make_gallery_and_probes(24, 12, 2, 128, seed=131)
+
+
+def test_projection_full_budget_is_exact(sets):
+    g, gl, p, pl = sets
+    m = ProjectionIndexMatcher(g, proj_dim=32)
+    m.set_budget(0)  # full
+    res = m.search(p)
+    dense = oracle_pairwise(p, g)
+    np.testing.assert_array_equal(res.indices, dense.argmin(1))
+
+
+@pytest.mark.parametrize("proj_type", ["random", "pca"])
+def test_projection_budgeted_accuracy(sets, proj_type):
+    g, gl, p, pl = sets
+    m = ProjectionIndexMatcher(g, proj_dim=32, proj_type=proj_type)
+    m.set_budget(int(0.1 * g.shape[0]))
+    res = m.search(p)
+    assert (gl[res.indices] == pl).mean() > 0.9
+    np.testing.assert_allclose(res.checked_fraction, 0.1, atol=0.01)
+
+
+def test_projection_budget_improves(sets):
+    g, gl, p, pl = sets
+    m = ProjectionIndexMatcher(g, proj_dim=8)
+    errs = []
+    for frac in (0.02, 0.5):
+        m.set_budget(int(frac * g.shape[0]))
+        res = m.search(p)
+        errs.append((gl[res.indices] != pl).mean())
+    assert errs[1] <= errs[0]
+
+
+def test_kdtree_matches_bruteforce(sets):
+    g, gl, p, pl = sets
+    m = KDTreeMatcher(g)
+    res = m.search(p)
+    dense = oracle_pairwise(p, g)
+    np.testing.assert_array_equal(res.indices, dense.argmin(1))
+    np.testing.assert_allclose(res.distances, dense.min(1), rtol=1e-5)
+
+
+def test_create_image_lists(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for cls in ("aa", "bb"):
+        (tmp_path / cls).mkdir()
+        for i in range(6):
+            Image.fromarray(
+                rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+            ).save(tmp_path / cls / f"{i}.png")
+    lists = create_image_lists(str(tmp_path), np.random.default_rng(1), train_count=4)
+    assert len(lists.train_paths) == 8 and len(lists.val_paths) == 4
+    assert lists.class_names == ["aa", "bb"]
+    assert (np.bincount(lists.train_labels) == 4).all()
+    # percent mode
+    lists2 = create_image_lists(
+        str(tmp_path), np.random.default_rng(1), train_percent=0.5
+    )
+    assert len(lists2.train_paths) == 6
+
+
+def test_augment_batch_shapes_and_variation():
+    rng = np.random.default_rng(0)
+    imgs = rng.normal(size=(4, 16, 16, 3)).astype(np.float32)
+    out = augment_batch(jnp.asarray(imgs), jax.random.PRNGKey(0))
+    assert out.shape == imgs.shape
+    # augmentation must actually change pixels but keep magnitude sane
+    diff = np.abs(np.asarray(out) - imgs).mean()
+    assert diff > 1e-3
+    assert np.abs(np.asarray(out)).max() < 10 * np.abs(imgs).max() + 1
+    # identity config (all zeros, no flip) reproduces the input
+    ident = AugmentConfig(0.0, 0.0, 0.0, 0.0, horizontal_flip=False)
+    out2 = augment_batch(jnp.asarray(imgs), jax.random.PRNGKey(0), ident)
+    np.testing.assert_allclose(np.asarray(out2), imgs, atol=1e-4)
+
+
+def test_batch_generator_epochs():
+    imgs = np.random.default_rng(0).normal(size=(10, 8, 8, 3)).astype(np.float32)
+    labels = np.arange(10) % 2
+    gen = BatchGenerator(imgs, labels, batch_size=4, augment=AugmentConfig())
+    batches = list(gen)
+    assert len(batches) == 3
+    assert sum(b[0].shape[0] for b in batches) == 10
+    # deterministic given the seed
+    gen2 = BatchGenerator(imgs, labels, batch_size=4, augment=AugmentConfig())
+    b1 = list(gen)[0]
+    b2 = list(gen2)[1]  # different epoch state -> different order likely
+    assert batches[0][1].shape == (4,)
+
+
+def test_leave_one_out_pruning():
+    from fast_image_recognition_tpu.models import create_efficientnet
+    from fast_image_recognition_tpu.models.pruning import (
+        parameter_count,
+        prune_efficientnet,
+    )
+
+    model, variables = create_efficientnet("b0", 0, resolution=32)
+    rng = np.random.default_rng(0)
+    imgs = rng.normal(size=(4, 32, 32, 3)).astype(np.float32)
+    labels = np.arange(4) % 2
+    m2, v2 = prune_efficientnet(
+        model, variables, 0.25, "leave_one_out",
+        images=imgs, labels=labels, num_classes=2,
+    )
+    assert parameter_count(v2) < parameter_count(variables)
+    out = m2.apply(v2, jnp.asarray(imgs[:1]))
+    assert out["embedding"].shape == (1, 1280)
+
+
+def test_segment_latency_probe():
+    from fast_image_recognition_tpu.cascade.engine import SequentialInferencePipeline
+    from fast_image_recognition_tpu.models import create_efficientnet, default_taps
+
+    model, variables = create_efficientnet("b0", 0, resolution=32)
+    taps = default_taps("b0")
+    out = model.apply(variables, jnp.zeros((1, 32, 32, 3)), taps=taps)
+    dims = [int(out["taps"][t].shape[-1]) for t in taps] + [1280]
+    coefs = [np.zeros((3, d), np.float32) for d in dims]
+    intercepts = [np.zeros(3, np.float32) for _ in dims]
+    pipe = SequentialInferencePipeline(
+        model, variables, taps, coefs, intercepts,
+        thresholds=[0.0] * (len(dims) - 1), buckets=(8,),
+    )
+    imgs = np.zeros((4, 32, 32, 3), np.float32)
+    per_level, cumulative = pipe.measure_segment_latency(imgs, iters=2)
+    assert per_level.shape == (len(dims),)
+    assert (per_level > 0).all()
+    np.testing.assert_allclose(cumulative[-1], per_level.sum(), rtol=1e-6)
