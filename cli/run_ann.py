@@ -27,7 +27,7 @@ def main() -> None:
         "--methods",
         nargs="*",
         default=["dem", "proj"],
-        choices=["dem", "proj", "kdtree"],
+        choices=["dem", "dem-gather", "proj", "kdtree"],
         help="budgeted methods to sweep "
         "(the reference compares DEM vs FLANN vs NMSLIB, ann.cpp:55-70)",
     )
@@ -60,6 +60,13 @@ def main() -> None:
         methods.append(
             DirectedEnumerationMatcher(
                 gallery, glabels, false_accept_rate=args.far, seed=args.seed
+            )
+        )
+    if "dem-gather" in args.methods:
+        methods.append(
+            DirectedEnumerationMatcher(
+                gallery, glabels, false_accept_rate=args.far, seed=args.seed,
+                probe_mode="gather",
             )
         )
     if "proj" in args.methods:

@@ -166,6 +166,80 @@ def _dem_search(
     return final_best_idx.astype(jnp.int32), final_best_dist, checked.astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("budget",))
+def _dem_search_gather(
+    queries: jax.Array,  # [B, D] (small B — the low-latency serving path)
+    gallery: jax.Array,  # [N, D] (bf16 HBM-resident)
+    pivot_feats: jax.Array,  # [P, D]
+    p_matrix: jax.Array,  # [P, N]
+    pivot_idx: jax.Array,  # [P]
+    threshold: jax.Array,
+    budget: int,
+):
+    """Budget-limited probe: only the top-``budget`` candidates by
+    likelihood are *gathered* and get true distances — O(B * budget * D)
+    compute and HBM traffic instead of the full O(B * N * D) scan. This is
+    where DEM's sub-linear search actually pays off in wall-clock on TPU
+    (small batches / latency-bound serving); the exact path computes the
+    full distance matrix and merely selects."""
+    b, dim = queries.shape
+    n = gallery.shape[0]
+    p = p_matrix.shape[0]
+
+    d_qp = pairwise_distances(queries, pivot_feats)  # [B, P]
+
+    below = d_qp < threshold
+    any_below = jnp.any(below, axis=1)
+    first_below = jnp.argmax(below, axis=1)
+    pcols = jnp.arange(p)[None, :]
+    probed_pivot = jnp.where(
+        any_below[:, None], pcols <= first_below[:, None], jnp.ones_like(below)
+    )
+    d_qp_masked = jnp.where(probed_pivot, d_qp, BIG)
+    best_p_arg = jnp.argmin(d_qp_masked, axis=1)
+    best_p_dist = jnp.take_along_axis(d_qp_masked, best_p_arg[:, None], 1)[:, 0]
+    best_p_idx = jnp.take(pivot_idx, best_p_arg)
+    pivots_checked = jnp.where(any_below, first_below + 1, p)
+    exited_at_pivots = any_below
+
+    qp_sq = jnp.sum(d_qp * d_qp, axis=1, keepdims=True)
+    pm_sq = jnp.sum(p_matrix * p_matrix, axis=0, keepdims=True)
+    lik = qp_sq + pm_sq - 2.0 * d_qp @ p_matrix  # [B, N]
+    pivot_mask = jnp.zeros((n,), jnp.bool_).at[pivot_idx].set(True)
+    lik = jnp.where(pivot_mask[None, :], BIG, lik)
+
+    _, order = jax.lax.top_k(-lik, budget)  # [B, budget] ascending likelihood
+    rows = jnp.take(gallery, order, axis=0).astype(jnp.float32)  # [B, k, D]
+    q32 = queries.astype(jnp.float32)
+    cross = jnp.einsum("bd,bkd->bk", q32, rows)
+    rsq = jnp.sum(rows * rows, axis=2)
+    d_ordered = (
+        jnp.sum(q32 * q32, axis=1, keepdims=True) + rsq - 2.0 * cross
+    ) / dim
+
+    below_t = d_ordered < threshold
+    any_bt = jnp.any(below_t, axis=1)
+    first_bt = jnp.argmax(below_t, axis=1)
+    checked_rows = jnp.where(any_bt, first_bt + 1, budget)
+    cols = jnp.arange(budget)[None, :]
+    probed = cols < checked_rows[:, None]
+    d_probed = jnp.where(probed, d_ordered, BIG)
+    best_arg = jnp.argmin(d_probed, axis=1)
+    best_dist = jnp.take_along_axis(d_probed, best_arg[:, None], 1)[:, 0]
+    best_idx = jnp.take_along_axis(order, best_arg[:, None], 1)[:, 0]
+
+    final_best_dist = jnp.where(
+        exited_at_pivots | (best_p_dist <= best_dist), best_p_dist, best_dist
+    )
+    final_best_idx = jnp.where(
+        exited_at_pivots | (best_p_dist <= best_dist), best_p_idx, best_idx
+    )
+    checked = jnp.where(
+        exited_at_pivots, pivots_checked, pivots_checked + checked_rows
+    )
+    return final_best_idx.astype(jnp.int32), final_best_dist, checked.astype(jnp.int32)
+
+
 @dataclasses.dataclass
 class DEMIndex:
     pivot_indices: np.ndarray
@@ -187,9 +261,17 @@ class DirectedEnumerationMatcher:
         seed: int = 0,
         pivot_fraction: float = 0.015,
         max_pivots: int = 32,
+        probe_mode: str = "exact",  # 'exact' | 'gather'
     ):
-        self.name = "dem"
+        """probe_mode='exact' computes the full distance matrix and selects
+        the reference's probe set (best throughput at large batch);
+        'gather' only touches the top-budget candidates — sub-linear HBM
+        traffic and compute, the latency win for small batches (L2 only)."""
+        self.name = "dem" if probe_mode == "exact" else "dem(gather)"
         self.kind = kind
+        self.probe_mode = probe_mode
+        if probe_mode == "gather" and kind != DistanceKind.L2:
+            raise ValueError("gather mode supports L2 only")
         self._n = gallery_features.shape[0]
         rng = np.random.default_rng(seed)
         pivots, p_matrix, other_min = select_pivots(
@@ -203,7 +285,11 @@ class DirectedEnumerationMatcher:
         if threshold <= 0:
             threshold = get_threshold(other_min, false_accept_rate)
         self.index = DEMIndex(pivots, p_matrix, float(threshold))
-        self.gallery = jax.device_put(jnp.asarray(gallery_features, jnp.float32))
+        dtype = jnp.bfloat16 if probe_mode == "gather" else jnp.float32
+        self.gallery = jax.device_put(jnp.asarray(gallery_features, dtype))
+        self._pivot_feats = jax.device_put(
+            jnp.asarray(gallery_features[pivots], jnp.float32)
+        )
         self._p_matrix = jax.device_put(jnp.asarray(p_matrix, jnp.float32))
         self._pivot_idx = jax.device_put(jnp.asarray(pivots, jnp.int32))
         self.set_budget(image_count_to_check)
@@ -222,15 +308,36 @@ class DirectedEnumerationMatcher:
         from fast_image_recognition_tpu.search.base import SearchResult
 
         q = jnp.asarray(queries, dtype=jnp.float32)
-        idx, dist, checked = _dem_search(
-            q,
-            self.gallery,
-            self._p_matrix,
-            self._pivot_idx,
-            jnp.float32(self.index.threshold),
-            self.budget,
-            self.kind,
-        )
+        if self.probe_mode == "gather":
+            # keep the gathered candidate block under ~1 GB
+            d = q.shape[1]
+            max_chunk = max(1, int(1e9 // max(self.budget * d * 4, 1)))
+            outs = []
+            for s in range(0, q.shape[0], max_chunk):
+                outs.append(
+                    _dem_search_gather(
+                        q[s : s + max_chunk],
+                        self.gallery,
+                        self._pivot_feats,
+                        self._p_matrix,
+                        self._pivot_idx,
+                        jnp.float32(self.index.threshold),
+                        self.budget,
+                    )
+                )
+            idx = jnp.concatenate([o[0] for o in outs])
+            dist = jnp.concatenate([o[1] for o in outs])
+            checked = jnp.concatenate([o[2] for o in outs])
+        else:
+            idx, dist, checked = _dem_search(
+                q,
+                self.gallery,
+                self._p_matrix,
+                self._pivot_idx,
+                jnp.float32(self.index.threshold),
+                self.budget,
+                self.kind,
+            )
         return SearchResult(
             indices=np.asarray(idx),
             distances=np.asarray(dist),

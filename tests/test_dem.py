@@ -99,3 +99,33 @@ def test_early_exit_reduces_checked(data):
     # which for a near-duplicate may be a same-class pivot, not the query
     # row itself — assert class-level correctness.
     np.testing.assert_array_equal(glabels[res.indices], glabels[:16])
+
+
+def test_gather_mode_matches_exact(data):
+    """The gather probe path must agree with the exact path (same probe
+    set, bf16 rounding may flip rare near-ties)."""
+    gallery, glabels, probes, _ = data
+    exact = DirectedEnumerationMatcher(gallery, glabels, seed=3)
+    gather = DirectedEnumerationMatcher(
+        gallery, glabels, seed=3, probe_mode="gather"
+    )
+    for budget in (40, 120):
+        exact.set_budget(budget)
+        gather.set_budget(budget)
+        re = exact.search(probes)
+        rg = gather.search(probes)
+        assert (re.indices == rg.indices).mean() > 0.9
+        # label agreement should be near-total
+        assert (glabels[re.indices] == glabels[rg.indices]).mean() > 0.97
+
+
+def test_gather_mode_rejects_chi2(data):
+    gallery, glabels, _, _ = data
+    import pytest as _pytest
+
+    from fast_image_recognition_tpu.config import DistanceKind
+
+    with _pytest.raises(ValueError, match="L2 only"):
+        DirectedEnumerationMatcher(
+            gallery, glabels, kind=DistanceKind.CHI2, probe_mode="gather"
+        )
