@@ -215,6 +215,9 @@ class EfficientNet(nn.Module):
     # per-block hidden-width overrides from pruning surgery
     # (models/pruning.py); maps block name -> pruned expanded width
     hidden_overrides: Any = None
+    # rematerialize block activations in the backward pass (jax.checkpoint):
+    # trades recompute FLOPs for HBM during fine-tuning of big variants
+    remat: bool = False
 
     def setup(self):
         v = VARIANTS[self.variant]
@@ -235,10 +238,13 @@ class EfficientNet(nn.Module):
         )
         total = len(self.plan)
         overrides = dict(self.hidden_overrides or {})
+        block_cls = (
+            nn.remat(MBConv, static_argnums=(2,)) if self.remat else MBConv
+        )
         blocks = []
         for bi, cfg in enumerate(self.plan):
             blocks.append(
-                MBConv(
+                block_cls(
                     kernel=cfg["kernel"],
                     stride=cfg["stride"],
                     expand=cfg["expand"],
@@ -282,7 +288,7 @@ class EfficientNet(nn.Module):
     def run_blocks(self, x, start: int, end: int, train: bool = False):
         """Apply blocks [start, end) — the segment primitive for cascades."""
         for b in self.blocks[start:end]:
-            x = b(x, train=train)
+            x = b(x, train)
         return x
 
     def __call__(
@@ -301,7 +307,7 @@ class EfficientNet(nn.Module):
         x = self.stem(x, train=train)
         tap_out: Dict[str, jax.Array] = {}
         for cfg, blk in zip(self.plan, self.blocks):
-            x = blk(x, train=train)
+            x = blk(x, train)
             if cfg["name"] in tapset:
                 # GlobalAveragePooling2D exit embedding
                 # (sequential_inference.py:420-422)

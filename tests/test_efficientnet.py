@@ -139,3 +139,27 @@ def test_extractor_end_to_end():
     # determinism
     feats2 = ex.extract_normalized(imgs, batch_size=2)
     np.testing.assert_allclose(feats, feats2, atol=1e-5)
+
+
+def test_remat_grad_and_parity():
+    """remat=True must not change outputs and must support grad (the
+    jax.checkpoint memory/FLOPs trade for fine-tuning big variants)."""
+    from fast_image_recognition_tpu.models.efficientnet import EfficientNet
+
+    model = EfficientNet(variant="b0", num_classes=0, remat=True)
+    x = jnp.ones((2, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+
+    def loss(p):
+        return model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]}, x
+        )["embedding"].sum()
+
+    g = jax.grad(loss)(variables["params"])
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+    plain = EfficientNet(variant="b0", num_classes=0, remat=False)
+    np.testing.assert_allclose(
+        np.asarray(model.apply(variables, x)["embedding"]),
+        np.asarray(plain.apply(variables, x)["embedding"]),
+        rtol=1e-5,
+    )
