@@ -71,6 +71,20 @@ def main() -> None:
             f"BF[{agg}] frame_error={r.frame_error:.4g}% "
             f"video_error={r.video_error:.4g}% ms/frame={r.ms_per_frame:.4g}"
         )
+    # SVM frame classifier (video.cpp:246-247)
+    try:
+        from fast_image_recognition_tpu.classifiers.sklearn_baselines import (
+            SVMBaseline,
+        )
+
+        svm = SVMBaseline(linear=True).fit(db.features[g_mask], g_labels)
+        probes_feats = vid.frames[probe_idx]
+        preds = svm.predict(probes_feats)
+        truth = video_labels[vid.frame_video[probe_idx]]
+        print(f"SVM frame_error={100.0 * (preds != truth).mean():.4g}%")
+    except ImportError:
+        pass
+
     fused = video_log_posterior_fusion(
         vid.frames[probe_idx], db.features[g_mask], g_labels,
         vid.frame_video[probe_idx], inter.num_classes, vid.num_videos,

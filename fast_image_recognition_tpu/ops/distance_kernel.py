@@ -102,12 +102,7 @@ def _topk_kernel(
     tile_g: int,
     windowed: bool,
     precise: bool,
-    need_mask: bool,
 ):
-    """VPU economy: the scan carries *scores* ``|g|^2 - 2 q.g`` — the
-    ``|q|^2`` term is constant per query, so it cannot change the argmin and
-    is added back once at emit time. The pad-row mask is compiled out
-    (``need_mask=False``) when the true row count fills the padded tiles."""
     j = pl.program_id(0)
     n_tiles_g = pl.num_programs(0)
 
@@ -142,13 +137,12 @@ def _topk_kernel(
             jax.lax.Precision.HIGHEST if precise else jax.lax.Precision.DEFAULT
         ),
     )  # [B, TG]
-    tile_d = gn.reshape(1, -1) - 2.0 * cross  # score: distance minus |q|^2
+    tile_d = jnp.maximum(qsq[:] + gn.reshape(1, -1) - 2.0 * cross, 0.0)
 
+    # Mask padded gallery rows beyond the true N.
     tile_base = j * tile_g
-    if need_mask:
-        # mask padded gallery rows beyond the true N
-        cols = jax.lax.broadcasted_iota(jnp.int32, tile_d.shape, 1) + tile_base
-        tile_d = jnp.where(cols < n_valid_ref[0], tile_d, BIG_DIST)
+    cols = jax.lax.broadcasted_iota(jnp.int32, tile_d.shape, 1) + tile_base
+    tile_d = jnp.where(cols < n_valid_ref[0], tile_d, BIG_DIST)
 
     new_d, new_i = _merge_topk(best_d[:], best_i[:], tile_d, tile_base, k)
     best_d[:] = new_d
@@ -156,10 +150,7 @@ def _topk_kernel(
 
     @pl.when(j == n_tiles_g - 1)
     def _emit():
-        # restore true distances: score + |q|^2, clamped at 0; unfilled
-        # slots (k > N, index -1) keep the sentinel instead of overflowing
-        d = jnp.maximum(best_d[:] + qsq[:], 0.0)
-        out_d_ref[:] = jnp.where(best_i[:] >= 0, d, BIG_DIST)
+        out_d_ref[:] = best_d[:]
         out_i_ref[:] = best_i[:]
 
 
@@ -169,7 +160,7 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "tile_g", "interpret", "window", "precise", "need_mask"),
+    static_argnames=("k", "tile_g", "interpret", "window", "precise"),
 )
 def _topk_l2_block(
     queries: jax.Array,  # [Bp, D] (Bp <= MAX_QUERY_BLOCK, multiple of 8)
@@ -180,7 +171,6 @@ def _topk_l2_block(
     interpret: bool,
     window: Optional[Tuple[int, int]],
     precise: bool,
-    need_mask: bool = True,
 ):
     bp, d = queries.shape
     np_, _ = gallery.shape
@@ -189,8 +179,7 @@ def _topk_l2_block(
     win = jnp.asarray(window if windowed else (0, d), dtype=jnp.int32)
 
     kernel = functools.partial(
-        _topk_kernel, k=k, tile_g=tile_g, windowed=windowed, precise=precise,
-        need_mask=need_mask,
+        _topk_kernel, k=k, tile_g=tile_g, windowed=windowed, precise=precise
     )
     out_d, out_i = pl.pallas_call(
         kernel,
@@ -270,10 +259,7 @@ def topk_l2(
     if not precise and gallery.dtype == jnp.float32:
         gallery = gallery.astype(jnp.bfloat16)
     queries = jnp.asarray(queries).astype(gallery.dtype)
-    # compile the pad-row mask out entirely when the true row count is a
-    # static int covering every padded tile (the common full-gallery case)
-    need_mask = not (isinstance(n, int) and n == gallery.shape[0])
-    nv = jnp.asarray([n] if not hasattr(n, "shape") else n, dtype=jnp.int32).reshape(1)
+    nv = jnp.asarray([n], dtype=jnp.int32)
 
     outs_d = []
     outs_i = []
@@ -284,8 +270,7 @@ def topk_l2(
         if bp != bc:
             chunk = jnp.pad(chunk, ((0, bp - bc), (0, 0)))
         od, oi = _topk_l2_block(
-            chunk, gallery, nv, k, tile_g, interpret, window, precise,
-            need_mask,
+            chunk, gallery, nv, k, tile_g, interpret, window, precise
         )
         outs_d.append(od[:bc])
         outs_i.append(oi[:bc])

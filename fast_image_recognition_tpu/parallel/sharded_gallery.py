@@ -54,23 +54,33 @@ def sharded_topk_l2(
     window: Optional[Tuple[int, int]] = None,
     precise: bool = False,
     tile_g: int = 512,
+    axes: Tuple[str, ...] = ("gallery",),
 ) -> Tuple[jax.Array, jax.Array]:
-    """Global top-k over a gallery sharded across ``mesh`` axis 'gallery'.
+    """Global top-k over a gallery sharded across ``mesh`` axes ``axes``.
 
     ``gallery_sharded`` must already be placed with
-    ``NamedSharding(mesh, P('gallery', None))`` and row-padded so each shard
-    has the same row count (use ``shard_gallery``). Returns global
-    (distances [B, k], indices [B, k]) — indices refer to the unpadded
-    concatenated gallery.
+    ``NamedSharding(mesh, P(axes, None))`` and row-padded so each shard has
+    the same row count (use ``shard_gallery``). Returns global (distances
+    [B, k], indices [B, k]) — indices refer to the unpadded concatenated
+    gallery.
+
+    Multi-slice galleries (SURVEY.md §5 distributed backend): pass
+    ``axes=('dcn', 'gallery')`` over a 2-axis mesh — each slice's chips
+    merge over ICI first ('gallery' is the minor/fastest axis), then one
+    k-sized candidate set per slice crosses DCN; the all_gather over the
+    flattened axes realizes exactly that two-level merge with per-query
+    traffic of ``total_shards * k * 8`` bytes.
     """
-    n_shards = mesh.shape["gallery"]
+    n_shards = 1
+    for a in axes:
+        n_shards *= mesh.shape[a]
     rows_per_shard = gallery_sharded.shape[0] // n_shards
     if n_valid_per_shard is None:
         n_valid_per_shard = np.full(n_shards, rows_per_shard, dtype=np.int32)
     nv = jnp.asarray(n_valid_per_shard, dtype=jnp.int32)
 
     def local_search(q, g_local, nv_local):
-        shard = jax.lax.axis_index("gallery")
+        shard = jax.lax.axis_index(axes)
         # Rows beyond this shard's valid count are zero padding whose
         # distance (|q|^2/width) can undercut real matches — they must be
         # masked inside the kernel (n_valid), not after top-k extraction.
@@ -86,22 +96,21 @@ def sharded_topk_l2(
         valid = i < nv_local[0]
         d = jnp.where(valid, d, BIG_DIST)
         i = jnp.where(valid, i + shard * rows_per_shard, -1)
-        gat_d = jax.lax.all_gather(d, "gallery")  # [S, B, k] over ICI
-        gat_i = jax.lax.all_gather(i, "gallery")
+        # k candidates per shard cross the interconnect (ICI within the
+        # minor axis; DCN only for the major axis of a multi-slice mesh)
+        gat_d = jax.lax.all_gather(d, axes)  # [S, B, k]
+        gat_i = jax.lax.all_gather(i, axes)
         return _merge_gathered(gat_d, gat_i, k)
 
     fn = shard_map(
         local_search,
         mesh=mesh,
-        in_specs=(P(), P("gallery", None), P("gallery")),
+        in_specs=(P(), P(axes, None), P(axes)),
         out_specs=(P(), P()),
         check_rep=False,
     )
-    d, i = fn(queries, gallery_sharded, nv)
-    width = (window[1] - window[0]) if window is not None else queries.shape[-1]
-    # topk_l2 already divides by the window; undo double-normalization is not
-    # needed — local results are final distances.
-    return d, i
+    # topk_l2 already returns final window-mean distances per shard.
+    return fn(queries, gallery_sharded, nv)
 
 
 def shard_gallery(
@@ -109,12 +118,15 @@ def shard_gallery(
     mesh: Mesh,
     tile_g: int = 512,
     dtype=jnp.bfloat16,
+    axes: Tuple[str, ...] = ("gallery",),
 ) -> Tuple[jax.Array, np.ndarray]:
-    """Pad + place a host gallery across the mesh's 'gallery' axis.
+    """Pad + place a host gallery across the mesh's gallery axes.
 
     Returns (device array [S*rows, D] sharded on dim 0, per-shard valid row
     counts)."""
-    n_shards = mesh.shape["gallery"]
+    n_shards = 1
+    for a in axes:
+        n_shards *= mesh.shape[a]
     n, d = gallery.shape
     rows = -(-n // n_shards)  # ceil
     rows = -(-rows // tile_g) * tile_g  # round up to kernel tile
@@ -124,7 +136,7 @@ def shard_gallery(
     )
     padded = np.zeros((n_shards * rows, d), dtype=np.float32)
     padded[:n] = gallery
-    sharding = NamedSharding(mesh, P("gallery", None))
+    sharding = NamedSharding(mesh, P(axes, None))
     arr = jax.device_put(jnp.asarray(padded, dtype=dtype), sharding)
     return arr, n_valid
 

@@ -72,3 +72,23 @@ def test_make_mesh_shapes():
     assert mesh.shape == {"data": 2, "gallery": 2, "model": 2}
     with pytest.raises(ValueError):
         make_mesh(data=4, gallery=4, model=4)
+
+
+def test_two_level_mesh_merge(sets):
+    """Multi-slice layout: gallery sharded over ('dcn', 'gallery') — per-
+    slice ICI merge then a DCN-crossing merge — must equal global top-k."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    q, g, _ = sets
+    devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, axis_names=("dcn", "gallery"))
+    gal, n_valid = shard_gallery(
+        g, mesh, tile_g=32, dtype=jnp.float32, axes=("dcn", "gallery")
+    )
+    d, i = sharded_topk_l2(
+        q, gal, mesh, k=2, n_valid_per_shard=n_valid, precise=True,
+        tile_g=32, axes=("dcn", "gallery"),
+    )
+    dense = oracle_pairwise(q, g)
+    np.testing.assert_array_equal(np.asarray(i)[:, 0], dense.argmin(1))
