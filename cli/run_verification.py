@@ -40,6 +40,15 @@ def main() -> None:
         err = mahalanobis_verification(metric, gallery, glabels, probes, plabels)
         print(f"bayesian mahalanobis error={err:.4g}%")
 
+        from fast_image_recognition_tpu.evaluation.verification import (
+            fit_joint_bayesian,
+            joint_bayesian_verification,
+        )
+
+        jb = fit_joint_bayesian(gallery, glabels)
+        err = joint_bayesian_verification(jb, gallery, glabels, probes, plabels)
+        print(f"joint bayesian error={err:.4g}%")
+
 
 if __name__ == "__main__":
     main()

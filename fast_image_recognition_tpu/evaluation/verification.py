@@ -112,6 +112,84 @@ def verification_test(
 
 
 # ---------------------------------------------------------------------------
+# Joint-Bayesian verification (the disabled derivation,
+# ImageTesting.cpp:719-777): S_W from per-identity covariances, S_mu from
+# identity means; F = S_W^-1, G = -(2 S_mu + S_W)^-1 S_mu F,
+# A = (S_mu + S_W)^-1 - (F + G); similarity r(x1,x2) = x1'Ax1 + x2'Ax2 -
+# 2 x1'G x2 (higher = same identity; the reference's disabled scorer
+# minimizes the negation: dist = -xAx - xAx + 2 x1'G x2, :804-810).
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class JointBayesianModel:
+    A: np.ndarray  # [D, D]
+    G: np.ndarray  # [D, D]
+
+
+def fit_joint_bayesian(
+    features: np.ndarray,
+    labels: np.ndarray,
+    ridge: float = 0.5,
+) -> JointBayesianModel:
+    """One EM-free estimate mirroring ImageTesting.cpp:725-758: S_W is the
+    size-weighted average of per-identity covariances (+ridge*I), S_mu the
+    covariance of identity means (+ridge*I)."""
+    feats = np.asarray(features, np.float64)
+    labels = np.asarray(labels)
+    d = feats.shape[1]
+    means = []
+    sw = np.zeros((d, d))
+    within_count = 0
+    for c in np.unique(labels):
+        rows = feats[labels == c]
+        mu = rows.mean(axis=0)
+        means.append(mu)
+        n = len(rows)
+        if n > 1:
+            cov = (rows - mu).T @ (rows - mu) / (n - 1)
+            cov += np.eye(d) * ridge
+            within_count += n
+            sw += cov * n
+    sw /= max(within_count, 1)
+    u = np.stack(means)
+    su = (u - u.mean(0)).T @ (u - u.mean(0)) / max(len(u) - 1, 1)
+    su += np.eye(d) * ridge
+
+    f = np.linalg.inv(sw)
+    g = -np.linalg.inv(2 * su + sw) @ su @ f
+    a = np.linalg.inv(su + sw) - (f + g)
+    return JointBayesianModel(A=a, G=g)
+
+
+def joint_bayesian_scores(
+    model: JointBayesianModel, x1: np.ndarray, x2: np.ndarray
+) -> np.ndarray:
+    """Pairwise log-likelihood-ratio scores [B1, B2] on device (one matmul
+    per term): r = x1'Ax1 + x2'Ax2 - 2 x1'G x2."""
+    a = jnp.asarray(model.A, jnp.float32)
+    g = jnp.asarray(model.G, jnp.float32)
+    q1 = jnp.asarray(x1, jnp.float32)
+    q2 = jnp.asarray(x2, jnp.float32)
+    xax1 = jnp.sum(q1 * (q1 @ a), axis=1)  # [B1]
+    xax2 = jnp.sum(q2 * (q2 @ a), axis=1)  # [B2]
+    cross = q1 @ g @ q2.T  # [B1, B2]
+    return np.asarray(xax1[:, None] + xax2[None, :] - 2.0 * cross)
+
+
+def joint_bayesian_verification(
+    model: JointBayesianModel,
+    gallery: np.ndarray,
+    gallery_labels: np.ndarray,
+    probes: np.ndarray,
+    probe_labels: np.ndarray,
+) -> float:
+    """1-NN by max joint-Bayesian similarity; returns error %."""
+    scores = joint_bayesian_scores(model, probes, gallery)
+    preds = np.asarray(gallery_labels)[scores.argmax(axis=1)]
+    return float(100.0 * (preds != np.asarray(probe_labels)).mean())
+
+
+# ---------------------------------------------------------------------------
 # Bayesian within-class metric (the #if 0 variant, ImageTesting.cpp:553-712)
 # ---------------------------------------------------------------------------
 

@@ -144,3 +144,21 @@ def test_bayesian_metric_runs():
     metric = fit_bayesian_metric(g, gl, num_components=16)
     err = mahalanobis_verification(metric, g, gl, p, pl)
     assert err < 15.0
+
+
+def test_joint_bayesian_verification():
+    from fast_image_recognition_tpu.evaluation.verification import (
+        fit_joint_bayesian,
+        joint_bayesian_scores,
+        joint_bayesian_verification,
+    )
+
+    g, gl, p, pl = make_gallery_and_probes(10, 20, 4, 32, seed=8)
+    model = fit_joint_bayesian(g, gl)
+    err = joint_bayesian_verification(model, g, gl, p, pl)
+    assert err < 10.0
+    # same-identity pairs must score higher than cross-identity on average
+    s = joint_bayesian_scores(model, p, g)
+    same = np.asarray([s[i, gl == pl[i]].mean() for i in range(len(pl))])
+    diff = np.asarray([s[i, gl != pl[i]].mean() for i in range(len(pl))])
+    assert (same > diff).mean() > 0.95
