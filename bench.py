@@ -1,15 +1,23 @@
 #!/usr/bin/env python
-"""End-to-end benchmark: EfficientNet-B0 extract + 1-NN match vs a large
-gallery, on one chip.
+"""Benchmarks for the five BASELINE.json configs, on one chip.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Baseline target (BASELINE.json): >= 10,000 images/sec/chip end-to-end
-(extract + match) against a 1M-row gallery. The pipeline is the round-trip
-the reference splits across dnn_feature_extractor.py (extract) and
-qt_cpp/db_features.cpp / ann.cpp (match): preprocess -> backbone pooled
-embedding -> L2 normalize -> fused top-1 over the HBM-resident gallery.
+Default config ("e2e", what the driver runs) is the baseline target:
+>= 10,000 images/sec/chip end-to-end (EfficientNet-B0 extract + fused 1-NN
+match) against a 1M-row gallery — the round-trip the reference splits
+across dnn_feature_extractor.py (extract) and qt_cpp/db_features.cpp /
+ann.cpp (match).
+
+Other configs (--config): 'bf' brute-force 1-NN match only; 'dem' the
+directed-enumeration search at a 100k gallery; 'cascade' the sequential
+early-exit pipeline over backbone segments; 'video' frame-set recognition
+with per-video fusion.
+
+Timing note: on the axon TPU tunnel block_until_ready does NOT synchronize;
+every loop queues `iters` dispatches (serialized on the device stream) and
+fetches the LAST result — total = iters * compute + one transfer.
 """
 
 from __future__ import annotations
@@ -22,20 +30,30 @@ import time
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
 
-def main() -> None:
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--gallery", type=int, default=1_000_000)
-    parser.add_argument("--batch", type=int, default=1024)
-    parser.add_argument("--iters", type=int, default=20)
-    parser.add_argument("--resolution", type=int, default=224)
-    parser.add_argument("--variant", default="b0")
-    parser.add_argument("--quick", action="store_true", help="small shapes for smoke runs")
-    args = parser.parse_args()
-    if args.quick:
-        args.gallery = 50_000
-        args.iters = 5
-        args.batch = 256
+def _emit(metric: str, value: float, unit: str, baseline: float) -> None:
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(value, 1),
+                "unit": unit,
+                "vs_baseline": round(value / baseline, 3),
+            }
+        )
+    )
 
+
+def _make_gallery(n: int, dim: int, rng, tile: int = 1024):
+    import jax.numpy as jnp
+
+    from fast_image_recognition_tpu.ops.distance_kernel import pad_gallery
+
+    gal = rng.standard_normal((n, dim), dtype=__import__("numpy").float32)
+    gal /= __import__("numpy").linalg.norm(gal, axis=1, keepdims=True)
+    return pad_gallery(jnp.asarray(gal, jnp.bfloat16), tile), gal
+
+
+def bench_e2e(args) -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -44,58 +62,210 @@ def main() -> None:
         create_efficientnet,
         preprocess_images,
     )
-    from fast_image_recognition_tpu.ops.distance_kernel import pad_gallery, topk_l2
+    from fast_image_recognition_tpu.ops.distance_kernel import topk_l2
 
     res = args.resolution
     model, variables = create_efficientnet(args.variant, 0, resolution=res)
-    emb_dim = 1280 if args.variant == "b0" else None
-
-    # bf16 HBM-resident gallery (1M x 1280 = 2.6 GB)
     rng = np.random.default_rng(0)
-    gal_host = rng.standard_normal((args.gallery, 1280), dtype=np.float32)
-    gal_host /= np.linalg.norm(gal_host, axis=1, keepdims=True)
-    gallery = pad_gallery(jnp.asarray(gal_host, jnp.bfloat16), 512)
-    del gal_host
+    gallery, _ = _make_gallery(args.gallery, 1280, rng)
 
     def extract_and_match(variables, images, gallery):
         x = preprocess_images(images, res)
         emb = model.apply(variables, x, train=False)["embedding"]
         emb = emb / jnp.linalg.norm(emb, axis=1, keepdims=True)
-        d, i = topk_l2(emb, gallery, k=1, n_valid=args.gallery)
-        return d, i
+        return topk_l2(emb, gallery, k=1, n_valid=args.gallery)
 
     fn = jax.jit(extract_and_match)
     images = jnp.asarray(
         rng.integers(0, 255, (args.batch, res, res, 3)).astype(np.float32)
     )
-
-    # warmup/compile. NOTE: on the axon TPU tunnel block_until_ready does
-    # NOT synchronize; only a host transfer does. Timing therefore queues
-    # `iters` dispatches (serialized on the device stream) and fetches the
-    # LAST result — total time = iters * compute + one transfer/sync.
     out = fn(variables, images, gallery)
     _ = np.asarray(out[0])
-
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = fn(variables, images, gallery)
     _ = np.asarray(out[0])
-    dt = (time.perf_counter() - t0) / args.iters
-    ips = args.batch / dt
-
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"images/sec/chip end-to-end (EfficientNet-{args.variant} "
-                    f"extract + 1-NN match vs {args.gallery} gallery)"
-                ),
-                "value": round(ips, 1),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(ips / 10_000.0, 3),
-            }
-        )
+    ips = args.batch / ((time.perf_counter() - t0) / args.iters)
+    _emit(
+        f"images/sec/chip end-to-end (EfficientNet-{args.variant} extract + "
+        f"1-NN match vs {args.gallery} gallery)",
+        ips,
+        "images/sec/chip",
+        10_000.0,
     )
+
+
+def bench_bf(args) -> None:
+    """Config 1: brute-force 1-NN over precomputed features (match only)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fast_image_recognition_tpu.ops.distance_kernel import topk_l2
+
+    rng = np.random.default_rng(0)
+    gallery, gal_host = _make_gallery(args.gallery, 1536, rng)
+    queries = jnp.asarray(gal_host[: args.batch] + 1e-3, jnp.float32)
+    fn = jax.jit(lambda q, g: topk_l2(q, g, k=1, n_valid=args.gallery))
+    out = fn(queries, gallery)
+    _ = np.asarray(out[0])
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = fn(queries, gallery)
+    _ = np.asarray(out[0])
+    qps = args.batch / ((time.perf_counter() - t0) / args.iters)
+    _emit(
+        f"queries/sec/chip (fused brute-force 1-NN, D=1536, "
+        f"{args.gallery} gallery)",
+        qps,
+        "queries/sec/chip",
+        10_000.0,
+    )
+
+
+def bench_dem(args) -> None:
+    """Config 3: DEM at a 100k gallery, budget 5%, gather probe mode."""
+    import numpy as np
+
+    from fast_image_recognition_tpu.data import make_gallery_and_probes
+    from fast_image_recognition_tpu.search.dem import DirectedEnumerationMatcher
+
+    n_classes = 1000
+    per = max(2, args.gallery // 10 // n_classes * 10 // 10) or 2
+    g, gl, p, _ = make_gallery_and_probes(
+        n_classes, max(args.gallery // n_classes, 2), 1, 1536, seed=0
+    )
+    matcher = DirectedEnumerationMatcher(g, gl, probe_mode="gather", seed=0)
+    matcher.set_budget(int(0.05 * g.shape[0]))
+    probes = p[: min(64, len(p))]
+    matcher.search(probes)  # compile
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        r = matcher.search(probes)
+    qps = len(probes) * args.iters / (time.perf_counter() - t0)
+    _emit(
+        f"queries/sec/chip (DEM gather, budget 5%, {g.shape[0]} gallery, "
+        f"checked {r.checked_fraction.mean()*100:.2f}%)",
+        qps,
+        "queries/sec/chip",
+        10_000.0,
+    )
+
+
+def bench_cascade(args) -> None:
+    """Config 4: sequential early-exit cascade over backbone segments."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fast_image_recognition_tpu.cascade.engine import (
+        SequentialInferencePipeline,
+    )
+    from fast_image_recognition_tpu.models import (
+        create_efficientnet,
+        default_taps,
+    )
+
+    res = args.resolution
+    model, variables = create_efficientnet(args.variant, 0, resolution=res)
+    taps = tuple(default_taps(args.variant))
+    probe = model.apply(variables, jnp.zeros((1, res, res, 3)), taps=taps)
+    dims = [int(probe["taps"][t].shape[-1]) for t in taps] + [
+        int(probe["embedding"].shape[-1])
+    ]
+    rng = np.random.default_rng(0)
+    coefs = [rng.normal(0, 0.1, (100, d)).astype(np.float32) for d in dims]
+    intercepts = [np.zeros(100, np.float32) for _ in dims]
+    pipe = SequentialInferencePipeline(
+        model, variables, taps, coefs, intercepts,
+        thresholds=[0.0] * (len(dims) - 1), buckets=(args.batch,),
+    )
+    images = rng.normal(size=(args.batch, res, res, 3)).astype(np.float32)
+    pipe.predict(images)  # compile all segments
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        r = pipe.predict(images)
+    ips = args.batch * args.iters / (time.perf_counter() - t0)
+    _emit(
+        f"images/sec/chip (early-exit cascade, {len(dims)} levels, "
+        f"breaks={np.round(r.break_counts, 2).tolist()})",
+        ips,
+        "images/sec/chip",
+        10_000.0,
+    )
+
+
+def bench_video(args) -> None:
+    """Config 5: video frame-set recognition with per-video fusion."""
+    import numpy as np
+
+    from fast_image_recognition_tpu.data.video_io import VideoDB
+    from fast_image_recognition_tpu.data import make_gallery_and_probes
+    from fast_image_recognition_tpu.evaluation.video import (
+        video_log_posterior_fusion,
+    )
+
+    n_classes = 100
+    g, gl, p, pl = make_gallery_and_probes(n_classes, 20, 20, 1536, seed=0)
+    frame_video = pl.copy()
+    num_videos = n_classes
+    video_log_posterior_fusion(p, g, gl, frame_video, n_classes, num_videos)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        preds = video_log_posterior_fusion(
+            p, g, gl, frame_video, n_classes, num_videos
+        )
+    fps = len(p) * args.iters / (time.perf_counter() - t0)
+    _emit(
+        f"frames/sec/chip (video frame-set recognition + log-posterior "
+        f"fusion, {g.shape[0]} gallery, {num_videos} videos)",
+        fps,
+        "frames/sec/chip",
+        10_000.0,
+    )
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--config",
+        default="e2e",
+        choices=["e2e", "bf", "dem", "cascade", "video"],
+        help="which BASELINE.json benchmark config to run",
+    )
+    parser.add_argument("--gallery", type=int, default=None)
+    parser.add_argument("--batch", type=int, default=None)
+    parser.add_argument("--iters", type=int, default=None)
+    parser.add_argument("--resolution", type=int, default=224)
+    parser.add_argument("--variant", default="b0")
+    parser.add_argument("--quick", action="store_true", help="small shapes for smoke runs")
+    args = parser.parse_args()
+
+    defaults = {
+        "e2e": dict(gallery=1_000_000, batch=1024, iters=20),
+        "bf": dict(gallery=1_000_000, batch=1024, iters=20),
+        "dem": dict(gallery=100_000, batch=64, iters=10),
+        "cascade": dict(gallery=0, batch=256, iters=5),
+        "video": dict(gallery=0, batch=0, iters=5),
+    }[args.config]
+    for k, v in defaults.items():
+        if getattr(args, k) is None:
+            setattr(args, k, v)
+    if args.quick:
+        args.gallery = min(args.gallery or 0, 50_000) or 0
+        args.iters = max(2, args.iters // 4)
+        if args.config in ("e2e", "bf"):
+            args.batch = 256
+        if args.config == "cascade":
+            args.batch = 32
+            args.resolution = 64
+
+    {
+        "e2e": bench_e2e,
+        "bf": bench_bf,
+        "dem": bench_dem,
+        "cascade": bench_cascade,
+        "video": bench_video,
+    }[args.config](args)
 
 
 if __name__ == "__main__":

@@ -25,7 +25,6 @@ per-class accumulation is one einsum on the MXU.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

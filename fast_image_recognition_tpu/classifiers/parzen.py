@@ -24,7 +24,6 @@ finite in float32 where exp(-d/(2 D var)) underflows.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

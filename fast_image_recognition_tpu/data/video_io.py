@@ -15,11 +15,11 @@ still images (video.cpp:69-85).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List
+from typing import List
 
 import numpy as np
 
-from fast_image_recognition_tpu.data.feature_io import ZERO_EPS, normalize_features
+from fast_image_recognition_tpu.data.feature_io import normalize_features
 
 
 @dataclasses.dataclass

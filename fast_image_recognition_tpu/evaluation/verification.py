@@ -19,7 +19,7 @@ ImageTesting.cpp:551-712, is implemented as ``fit_bayesian_metric`` /
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

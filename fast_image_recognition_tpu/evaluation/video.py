@@ -17,7 +17,7 @@ maximum-likelihood frame fusion the per-frame loop approximates).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ cascade, so an experiment is a config value, not an edit-and-recompile.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

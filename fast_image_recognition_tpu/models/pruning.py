@@ -19,8 +19,7 @@ expand/dw/se/project kernels and the BN statistics.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import flax
 import jax

@@ -214,7 +214,7 @@ def _topk_l2_block(
     return out_d, out_i
 
 
-def pad_gallery(gallery: jax.Array, tile_g: int = 512) -> jax.Array:
+def pad_gallery(gallery: jax.Array, tile_g: int = 1024) -> jax.Array:
     """Pad gallery rows to a tile multiple (do this ONCE at build time)."""
     n = gallery.shape[0]
     np_ = _round_up(max(n, tile_g), tile_g)
@@ -229,7 +229,7 @@ def topk_l2(
     k: int = 1,
     *,
     n_valid: Optional[int] = None,
-    tile_g: int = 512,
+    tile_g: int = 1024,
     window: Optional[Tuple[int, int]] = None,
     precise: bool = False,
     interpret: Optional[bool] = None,

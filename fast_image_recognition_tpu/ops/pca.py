@@ -13,7 +13,7 @@ the host in float64 for determinism; projection is a single device matmul.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

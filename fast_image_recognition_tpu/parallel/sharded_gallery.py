@@ -14,7 +14,6 @@ collective needed on that axis since each query's result is independent).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

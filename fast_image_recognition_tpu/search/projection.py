@@ -24,13 +24,11 @@ accuracy/%checked trade-off in dense linear algebra).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fast_image_recognition_tpu.config import DistanceKind
 from fast_image_recognition_tpu.ops.distances import pairwise_distances
 from fast_image_recognition_tpu.ops.pca import fit_pca
 

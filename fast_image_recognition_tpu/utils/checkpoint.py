@@ -14,7 +14,7 @@ Reference mechanisms (SURVEY.md §5 checkpoint/resume):
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

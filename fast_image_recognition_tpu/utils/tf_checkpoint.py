@@ -24,7 +24,7 @@ Depthwise kernels: TF stores [k, k, F, 1] (per-channel multiplier); flax
 
 from __future__ import annotations
 
-from typing import Dict, Mapping, Optional
+from typing import Dict, Mapping
 
 import numpy as np
 
