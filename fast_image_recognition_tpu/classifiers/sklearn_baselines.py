@@ -40,8 +40,29 @@ class _SkBaseline:
             x = x - self._mean
         return x
 
-    def fit(self, x: np.ndarray, y: np.ndarray):
-        self._clf.fit(self._prep(x, fit=True), y)
+    def fit(self, x: np.ndarray, y: np.ndarray, calibrated: bool = False):
+        """``calibrated=True`` reproduces classifier_tester's
+        CalibratedClassifierCV flow (sequential_inference.py:439-447): fit
+        on half, calibrate probabilities prefit on the other half."""
+        xp = self._prep(x, fit=True)
+        if calibrated:
+            from sklearn.calibration import CalibratedClassifierCV
+            from sklearn.model_selection import train_test_split
+
+            x_tr, x_val, y_tr, y_val = train_test_split(
+                xp, y, test_size=0.5, random_state=42, stratify=y
+            )
+            self._clf.fit(x_tr, y_tr)
+            try:  # sklearn >= 1.6 replaced cv='prefit' with FrozenEstimator
+                from sklearn.frozen import FrozenEstimator
+
+                calib = CalibratedClassifierCV(FrozenEstimator(self._clf))
+            except ImportError:
+                calib = CalibratedClassifierCV(self._clf, cv="prefit")
+            calib.fit(x_val, y_val)
+            self._clf = calib
+        else:
+            self._clf.fit(xp, y)
         return self
 
     def predict(self, x: np.ndarray) -> np.ndarray:
