@@ -124,27 +124,26 @@ def bench_bf(args) -> None:
 
 
 def bench_dem(args) -> None:
-    """Config 3: DEM at a 100k gallery, budget 5%, gather probe mode."""
+    """Config 3: DEM at a 100k gallery, budget 1%, gather probe mode."""
     import numpy as np
 
     from fast_image_recognition_tpu.data import make_gallery_and_probes
     from fast_image_recognition_tpu.search.dem import DirectedEnumerationMatcher
 
     n_classes = 1000
-    per = max(2, args.gallery // 10 // n_classes * 10 // 10) or 2
     g, gl, p, _ = make_gallery_and_probes(
         n_classes, max(args.gallery // n_classes, 2), 1, 1536, seed=0
     )
     matcher = DirectedEnumerationMatcher(g, gl, probe_mode="gather", seed=0)
-    matcher.set_budget(int(0.05 * g.shape[0]))
-    probes = p[: min(64, len(p))]
+    matcher.set_budget(int(0.01 * g.shape[0]))
+    probes = p[: min(args.batch, len(p))]
     matcher.search(probes)  # compile
     t0 = time.perf_counter()
     for _ in range(args.iters):
         r = matcher.search(probes)
     qps = len(probes) * args.iters / (time.perf_counter() - t0)
     _emit(
-        f"queries/sec/chip (DEM gather, budget 5%, {g.shape[0]} gallery, "
+        f"queries/sec/chip (DEM gather, budget 1%, {g.shape[0]} gallery, "
         f"checked {r.checked_fraction.mean()*100:.2f}%)",
         qps,
         "queries/sec/chip",
@@ -243,7 +242,7 @@ def main() -> None:
     defaults = {
         "e2e": dict(gallery=1_000_000, batch=1024, iters=20),
         "bf": dict(gallery=1_000_000, batch=1024, iters=20),
-        "dem": dict(gallery=100_000, batch=64, iters=10),
+        "dem": dict(gallery=100_000, batch=128, iters=10),
         "cascade": dict(gallery=0, batch=256, iters=5),
         "video": dict(gallery=0, batch=0, iters=5),
     }[args.config]
