@@ -156,3 +156,41 @@ def test_segment_pipeline_end_to_end():
     emb0 = emb0 / np.linalg.norm(emb0, axis=1, keepdims=True)
     want = (emb0 @ coefs[0].T + intercepts[0]).argmax(1)
     np.testing.assert_array_equal(res.predictions, want)
+
+
+def test_segment_pipeline_on_pruned_backbone():
+    """The cascade engine must run over a pruned model (SURVEY.md §7 step 7:
+    exits over pruned-checkpoint ladders) — hidden_overrides + segments."""
+    from fast_image_recognition_tpu.cascade.engine import SequentialInferencePipeline
+    from fast_image_recognition_tpu.models import create_efficientnet, default_taps
+    from fast_image_recognition_tpu.models.pruning import prune_efficientnet
+
+    model, variables = create_efficientnet("b0", 0, resolution=32)
+    pruned_model, pruned_vars = prune_efficientnet(model, variables, 0.25, "l1")
+    taps = default_taps("b0")
+    images = np.random.default_rng(1).normal(size=(6, 32, 32, 3)).astype(np.float32)
+
+    out = pruned_model.apply(pruned_vars, jnp.asarray(images[:1]), taps=taps)
+    dims = [int(out["taps"][t].shape[-1]) for t in taps] + [
+        int(out["embedding"].shape[-1])
+    ]
+    rng = np.random.default_rng(0)
+    coefs = [rng.normal(0, 0.1, (4, d)).astype(np.float32) for d in dims]
+    intercepts = [np.zeros(4, dtype=np.float32) for _ in dims]
+    pipe = SequentialInferencePipeline(
+        pruned_model, pruned_vars, taps, coefs, intercepts,
+        thresholds=[0.05] * (len(dims) - 1), buckets=(8,),
+    )
+    res = pipe.predict(images)
+    assert res.predictions.shape == (6,)
+    assert np.isclose(res.break_counts.sum(), 1.0)
+    # level-0 parity against the standalone pruned forward
+    full = pruned_model.apply(pruned_vars, jnp.asarray(images), taps=taps)
+    emb0 = np.asarray(full["taps"][taps[0]])
+    emb0 = emb0 / np.linalg.norm(emb0, axis=1, keepdims=True)
+    scores0 = emb0 @ coefs[0].T + intercepts[0]
+    fired0 = scores0.max(1) > 0.05
+    np.testing.assert_array_equal(
+        res.predictions[fired0 & (res.exit_level == 0)],
+        scores0.argmax(1)[fired0 & (res.exit_level == 0)],
+    )
