@@ -21,6 +21,13 @@ import jax
 
 
 @dataclasses.dataclass
+class _SpanHolder:
+    """Mutable slot a ``Timer.span`` block fills with its final device output."""
+
+    result: object = None
+
+
+@dataclasses.dataclass
 class Counters:
     """The ann.h:29-30 counter set, batched."""
 
@@ -42,8 +49,30 @@ class Counters:
         return 100.0 * self.distance_calcs / (self.probes * self.gallery_size)
 
 
+def host_sync(out) -> None:
+    """Force completion of all device work queued before ``out``.
+
+    On the axon TPU tunnel ``jax.block_until_ready`` / ``jax.effects_barrier``
+    return before the device finishes (they ack at the tunnel boundary), so
+    honest timing must pull real bytes to the host: TPU executes one in-order
+    stream, so transferring any element of the last output fences everything
+    queued before it.
+    """
+    import numpy as np
+
+    leaves = jax.tree_util.tree_leaves(out)
+    if leaves:
+        np.asarray(jax.device_get(leaves[-1])).ravel()[:1]
+
+
 class Timer:
-    """Named wall-clock spans with device sync at the boundary."""
+    """Named wall-clock spans with device sync at the boundary.
+
+    For spans that end with device work in flight, pass the final device
+    output to the yielded holder (``span.result = out``) so the boundary can
+    fence with a real host transfer (see ``host_sync``); ``effects_barrier``
+    alone does not synchronize on the tunnel.
+    """
 
     def __init__(self):
         self.totals: Dict[str, float] = defaultdict(float)
@@ -51,11 +80,15 @@ class Timer:
 
     @contextlib.contextmanager
     def span(self, name: str, sync: bool = True):
+        holder = _SpanHolder()
         t0 = time.perf_counter()
-        yield
+        yield holder
         if sync:
-            # flush pending device work so the span is honest
-            jax.effects_barrier()
+            if holder.result is not None:
+                host_sync(holder.result)
+            else:
+                # best effort when the caller gave us nothing to transfer
+                jax.effects_barrier()
         self.totals[name] += time.perf_counter() - t0
         self.counts[name] += 1
 
@@ -79,14 +112,21 @@ def device_trace(log_dir: str):
 
 
 def time_jitted(fn, *args, iters: int = 10) -> Dict[str, float]:
-    """Separate first-call (compile) time from steady-state time."""
+    """Separate first-call (compile) time from steady-state time.
+
+    Steady state is measured tunnel-safely: queue ``iters`` dispatches, then
+    force ONE host transfer of the last output (``host_sync``) before reading
+    the clock — total = iters * compute + one transfer. Using
+    ``block_until_ready`` here would measure dispatch-queue time on the axon
+    tunnel and report impossibly high throughput.
+    """
     t0 = time.perf_counter()
     out = fn(*args)
-    jax.block_until_ready(out)
+    host_sync(out)
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    host_sync(out)
     steady_s = (time.perf_counter() - t0) / iters
     return {"compile_s": compile_s, "steady_s": steady_s}
