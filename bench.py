@@ -58,24 +58,23 @@ def bench_e2e(args) -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from fast_image_recognition_tpu.models import (
-        create_efficientnet,
-        preprocess_images,
-    )
+    from fast_image_recognition_tpu.models import create_efficientnet
+    from fast_image_recognition_tpu.models.inference import make_infer_fn
     from fast_image_recognition_tpu.ops.distance_kernel import topk_l2
 
     res = args.resolution
     model, variables = create_efficientnet(args.variant, 0, resolution=res)
+    infer, folded = make_infer_fn(model, variables, resolution=res)
     rng = np.random.default_rng(0)
     gallery, _ = _make_gallery(args.gallery, 1280, rng)
 
-    def extract_and_match(variables, images, gallery):
-        x = preprocess_images(images, res)
-        emb = model.apply(variables, x, train=False)["embedding"]
+    def extract_and_match(folded, images, gallery):
+        emb = infer(folded, images)["embedding"]
         emb = emb / jnp.linalg.norm(emb, axis=1, keepdims=True)
         return topk_l2(emb, gallery, k=1, n_valid=args.gallery)
 
     fn = jax.jit(extract_and_match)
+    variables = folded
     images = jnp.asarray(
         rng.integers(0, 255, (args.batch, res, res, 3)).astype(np.float32)
     )

@@ -38,6 +38,7 @@ class FeatureExtractor:
         resolution: Optional[int] = None,
         mesh: Optional[Mesh] = None,
         seed: int = 0,
+        folded: bool = True,
     ):
         self.variant = variant
         self.resolution = resolution or VARIANTS[variant].resolution
@@ -48,9 +49,24 @@ class FeatureExtractor:
         )
         self.mesh = mesh
 
-        def forward(variables, images):
-            x = preprocess_images(images, self.resolution)
-            return self.model.apply(variables, x, train=False)["embedding"]
+        if folded:
+            # Serving path: BN folded into convs, SE as dense matmuls
+            # (models/inference.py) — same outputs, ~10% faster.
+            from fast_image_recognition_tpu.models.inference import make_infer_fn
+
+            infer, self._folded = make_infer_fn(
+                self.model, self.variables, resolution=self.resolution
+            )
+
+            def forward(variables, images):
+                return infer(variables, images)["embedding"]
+
+        else:
+            self._folded = None
+
+            def forward(variables, images):
+                x = preprocess_images(images, self.resolution)
+                return self.model.apply(variables, x, train=False)["embedding"]
 
         if mesh is not None:
             self._forward = jax.jit(
@@ -84,7 +100,10 @@ class FeatureExtractor:
             if chunk.shape[0] % self._dp:
                 pad = self._dp - chunk.shape[0] % self._dp
                 chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)], axis=0)
-            emb = self._forward(self.variables, jnp.asarray(chunk))
+            emb = self._forward(
+                self._folded if self._folded is not None else self.variables,
+                jnp.asarray(chunk),
+            )
             emb = np.asarray(emb)
             outs.append(emb[: emb.shape[0] - pad] if pad else emb)
         return np.concatenate(outs, axis=0)
