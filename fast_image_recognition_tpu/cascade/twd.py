@@ -60,25 +60,25 @@ def _class_min(d: jax.Array, labels: jax.Array, num_classes: int) -> jax.Array:
     static_argnames=(
         "num_classes",
         "reduced",
-        "refine_to",
         "twd_type",
         "kind",
         "top_probabs",
     ),
 )
-def _conventional_twd(
+def _twd_stage1(
     queries: jax.Array,
     gallery: jax.Array,
     labels: jax.Array,
     num_classes: int,
     reduced: int,
-    refine_to: int,
     threshold: float,
     twd_type: TWDType,
     kind: DistanceKind,
     top_probabs: int = 5,
     dist_weight: float = 100.0,
 ):
+    """Stage-1 distances on the reduced prefix + reliability decision.
+    Returns (d1 [B, N] — kept on device for refine reuse, best_idx, reliable)."""
     d1 = pairwise_distances(queries, gallery, 0, reduced, kind)  # [B, N]
     best_idx = jnp.argmin(d1, axis=1)
     best_dist = jnp.take_along_axis(d1, best_idx[:, None], 1)[:, 0]
@@ -97,14 +97,32 @@ def _conventional_twd(
         reliable = (second_dist - best_dist) > threshold
     else:
         reliable = (best_dist / second_dist) < threshold
+    return d1, best_idx.astype(jnp.int32), reliable
 
-    # Refinement reusing stage-1 sums (ImageTesting.cpp:165-180):
+
+@partial(jax.jit, static_argnames=("reduced", "refine_to", "kind"))
+def _twd_refine(
+    queries: jax.Array,  # [U, D] — the compacted unreliable subset only
+    d1: jax.Array,  # [U, N] stage-1 window means for that subset
+    gallery: jax.Array,
+    reduced: int,
+    refine_to: int,
+    kind: DistanceKind,
+):
+    """Refinement reusing stage-1 sums (ImageTesting.cpp:165-180). Runs on
+    the host-compacted unreliable probes only, so refine FLOPs scale with
+    the unreliable fraction (the TWD's compute-saving premise) instead of
+    the whole batch."""
     d_delta = pairwise_distances(queries, gallery, reduced, refine_to, kind)
     d2 = (d1 * reduced + d_delta * (refine_to - reduced)) / refine_to
-    refined_idx = jnp.argmin(d2, axis=1)
+    return jnp.argmin(d2, axis=1).astype(jnp.int32)
 
-    final_idx = jnp.where(reliable, best_idx, refined_idx)
-    return jnp.take(labels, final_idx), reliable, final_idx
+
+def _pow2_bucket(n: int, lo: int = 8) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
 
 
 @dataclasses.dataclass
@@ -139,19 +157,37 @@ class ConventionalTWD:
         return self._unreliable
 
     def predict(self, queries: np.ndarray) -> np.ndarray:
-        preds, reliable, _ = _conventional_twd(
-            jnp.asarray(queries, jnp.float32),
+        q = jnp.asarray(queries, jnp.float32)
+        d1, best_idx, reliable = _twd_stage1(
+            q,
             self._g,
             self._l,
             self.num_classes,
             self.reduced_features,
-            self.refine_to,
             self.threshold,
             self.twd_type,
             self.kind,
         )
-        self._unreliable += int(np.asarray(~reliable).sum())
-        return np.asarray(preds)
+        reliable_np = np.asarray(reliable)
+        final_idx = np.asarray(best_idx).copy()
+        unrel = np.flatnonzero(~reliable_np)
+        if unrel.size:
+            # batch-compact the unreliable probes (padded to a power-of-2
+            # bucket to bound recompilation), refine only those
+            bucket = min(_pow2_bucket(unrel.size), int(q.shape[0]))
+            sel = np.resize(unrel, bucket)
+            sel_j = jnp.asarray(sel, jnp.int32)
+            refined = _twd_refine(
+                jnp.take(q, sel_j, axis=0),
+                jnp.take(d1, sel_j, axis=0),
+                self._g,
+                self.reduced_features,
+                self.refine_to,
+                self.kind,
+            )
+            final_idx[unrel] = np.asarray(refined)[: unrel.size]
+        self._unreliable += int(unrel.size)
+        return np.asarray(self.labels)[final_idx]
 
 
 @partial(

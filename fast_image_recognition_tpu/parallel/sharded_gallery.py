@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 from fast_image_recognition_tpu.ops.distance_kernel import (
     pad_gallery,
@@ -101,12 +100,12 @@ def sharded_topk_l2(
         gat_i = jax.lax.all_gather(i, axes)
         return _merge_gathered(gat_d, gat_i, k)
 
-    fn = shard_map(
+    fn = jax.shard_map(
         local_search,
         mesh=mesh,
         in_specs=(P(), P(axes, None), P(axes)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     # topk_l2 already returns final window-mean distances per shard.
     return fn(queries, gallery_sharded, nv)

@@ -18,7 +18,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from fast_image_recognition_tpu.config import DistanceKind
-from fast_image_recognition_tpu.ops.distances import pairwise_distances
+from fast_image_recognition_tpu.ops.distances import pairwise_distances, streamed_topk
+
+# Above this many gallery rows, chi2/KL go through the streamed scan-with-
+# running-top-k path instead of materializing a [B, N] score matrix.
+STREAM_THRESHOLD = 65536
 
 
 @partial(jax.jit, static_argnames=("kind", "max_features", "precise"))
@@ -62,7 +66,12 @@ class BruteForceMatcher:
         from fast_image_recognition_tpu.search.base import SearchResult
 
         q = jnp.asarray(queries, dtype=jnp.float32)
-        idx, best = _top1(q, self.gallery, self.kind, self.max_features, self.precise)
+        if self.kind != DistanceKind.L2 and self._n > STREAM_THRESHOLD:
+            end = self.max_features or q.shape[-1]
+            best, idx = streamed_topk(q, self.gallery, k=1, end=end, kind=self.kind)
+            best, idx = best[:, 0], idx[:, 0]
+        else:
+            idx, best = _top1(q, self.gallery, self.kind, self.max_features, self.precise)
         b = int(q.shape[0])
         return SearchResult(
             indices=np.asarray(idx),

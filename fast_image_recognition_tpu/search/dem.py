@@ -22,8 +22,9 @@ TPU-native formulation: the likelihood is one MXU matmul —
 ``L = |d_qp|^2 - 2 d_qp @ P + |P|^2`` per column — the probe order is an
 argsort, and the sequential early-exit is a cumulative-min scan over
 distances in probe order. The result (prediction AND probes-checked count)
-is *bit-equivalent to the reference's probe sequence* while running fully
-batched. The returned ``checked_fraction`` preserves the reference's
+is semantically equivalent to the reference's probe sequence — identical up
+to fp32 likelihood near-ties, which can reorder adjacent probes — while
+running fully batched. The returned ``checked_fraction`` preserves the reference's
 ``distanceCalcCount / N`` accounting (ann.cpp:505).
 
 Note on compute: on the MXU a full [B, N] distance matrix is one matmul, so
@@ -126,6 +127,15 @@ def _dem_search(
     pivots_checked = jnp.where(any_below, first_below + 1, p)
     exited_at_pivots = any_below
 
+    if budget == 0:
+        # budget <= n_pivots: the pivot phase exhausts imageCountToCheck and
+        # zero candidates are probed (ann.cpp:472 loop condition).
+        return (
+            best_p_idx.astype(jnp.int32),
+            best_p_dist,
+            pivots_checked.astype(jnp.int32),
+        )
+
     # --- likelihood ranking (ann.cpp:453-461, 469-470) ----------------------
     # L[b, n] = sum_p (d_qp[b,p] - P[p,n])^2, one matmul via expansion.
     qp_sq = jnp.sum(d_qp * d_qp, axis=1, keepdims=True)  # [B, 1]
@@ -201,6 +211,13 @@ def _dem_search_gather(
     best_p_idx = jnp.take(pivot_idx, best_p_arg)
     pivots_checked = jnp.where(any_below, first_below + 1, p)
     exited_at_pivots = any_below
+
+    if budget == 0:
+        return (
+            best_p_idx.astype(jnp.int32),
+            best_p_dist,
+            pivots_checked.astype(jnp.int32),
+        )
 
     qp_sq = jnp.sum(d_qp * d_qp, axis=1, keepdims=True)
     pm_sq = jnp.sum(p_matrix * p_matrix, axis=0, keepdims=True)
@@ -302,7 +319,10 @@ class DirectedEnumerationMatcher:
         n_cand = self._n - n_pivots
         if image_count_to_check <= 0 or image_count_to_check >= self._n:
             image_count_to_check = self._n
-        self.budget = int(np.clip(image_count_to_check - n_pivots, 1, n_cand))
+        # budget <= n_pivots leaves ZERO candidate probes (the reference's
+        # while distanceCalcCount < imageCountToCheck never enters the
+        # candidate loop, ann.cpp:472) — do not clamp up to 1.
+        self.budget = int(np.clip(image_count_to_check - n_pivots, 0, n_cand))
 
     def search(self, queries: np.ndarray):
         from fast_image_recognition_tpu.search.base import SearchResult
@@ -379,7 +399,7 @@ def dem_oracle_search(
     lik[index.pivot_indices] = np.inf
     order = np.argsort(lik, kind="stable")
     n_pivots = len(index.pivot_indices)
-    cand_budget = int(np.clip(budget - n_pivots, 1, n - n_pivots))
+    cand_budget = int(np.clip(budget - n_pivots, 0, n - n_pivots))
     for j in range(cand_budget):
         cand = int(order[j])
         d = oracle_pairwise(query[None], gallery[cand : cand + 1], kind=kind)[0, 0]

@@ -129,3 +129,23 @@ def test_gather_mode_rejects_chi2(data):
         DirectedEnumerationMatcher(
             gallery, glabels, kind=DistanceKind.CHI2, probe_mode="gather"
         )
+
+
+def test_budget_at_or_below_pivot_count_probes_zero_candidates(data, matcher):
+    """budget <= n_pivots: the pivot phase exhausts imageCountToCheck and no
+    candidates are probed (ann.cpp:472 loop condition) — checked counts must
+    never exceed the pivot count and results equal the pivot-phase best."""
+    gallery, glabels, probes, _ = data
+    n_pivots = len(matcher.index.pivot_indices)
+    matcher.set_budget(n_pivots)
+    assert matcher.budget == 0
+    res = matcher.search(probes)
+    n = gallery.shape[0]
+    for i in range(probes.shape[0]):
+        oi, od, oc = dem_oracle_search(
+            probes[i], gallery, matcher.index, n_pivots
+        )
+        assert int(round(res.checked_fraction[i] * n)) == oc
+        assert res.indices[i] == oi
+        np.testing.assert_allclose(res.distances[i], od, rtol=1e-4)
+    matcher.set_budget(0)  # restore: 0 means unlimited

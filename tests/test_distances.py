@@ -83,3 +83,48 @@ def test_fasterlog2_matches_c_formula():
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
     # ... and the approximation itself is close to true log2
     np.testing.assert_allclose(got, np.log2(xs), atol=1.2e-2)
+
+
+@pytest.mark.parametrize("kind", KINDS)
+def test_streamed_topk_matches_dense(kind):
+    from fast_image_recognition_tpu.ops.distances import streamed_topk
+
+    g, _ = make_synthetic_gallery(16, 40, 64, seed=21)  # N=640
+    q, _ = make_synthetic_gallery(16, 1, 64, seed=22)
+    # tile_n=96 forces multiple tiles plus a ragged padded tail (640 = 6*96+64)
+    d, i = streamed_topk(q, g, k=3, kind=kind, tile_n=96)
+    d, i = np.asarray(d), np.asarray(i)
+    dense = oracle_pairwise(q, g, kind=kind)
+    want_i = np.argsort(dense, axis=1, kind="stable")[:, :3]
+    want_d = np.take_along_axis(dense, want_i, axis=1)
+    np.testing.assert_allclose(d, want_d, rtol=3e-5, atol=1e-7)
+    # indices may swap under fp32 near-ties; distances above are the contract
+    assert (np.abs(np.sort(d, 1) - d) < 1e-12).all()
+    agree = (i == want_i).mean()
+    assert agree > 0.95
+
+
+@pytest.mark.parametrize("kind", [DistanceKind.CHI2, DistanceKind.KL])
+def test_streamed_topk_window(kind):
+    from fast_image_recognition_tpu.ops.distances import streamed_topk
+
+    g, _ = make_synthetic_gallery(8, 16, 64, seed=31)
+    q, _ = make_synthetic_gallery(8, 1, 64, seed=32)
+    d, i = streamed_topk(q, g, k=1, start=0, end=32, kind=kind, tile_n=48)
+    dense = oracle_pairwise(q, g, start=0, end=32, kind=kind)
+    np.testing.assert_allclose(
+        np.asarray(d)[:, 0], dense.min(axis=1), rtol=3e-5, atol=1e-7
+    )
+
+
+def test_chi2_blocked_pairwise_matches_single_tile():
+    """The tiled chi2/KL path must agree with a one-tile computation."""
+    from fast_image_recognition_tpu.ops.distances import _elementwise_blocked
+    import jax.numpy as jnp
+
+    g, _ = make_synthetic_gallery(8, 40, 32, seed=41)  # N=320
+    q, _ = make_synthetic_gallery(8, 1, 32, seed=42)
+    for kind in (DistanceKind.CHI2, DistanceKind.KL):
+        want = oracle_pairwise(q, g, kind=kind) * g.shape[1]  # unnormalized
+        got = np.asarray(_elementwise_blocked(jnp.asarray(q), jnp.asarray(g), kind))
+        np.testing.assert_allclose(got, want, rtol=3e-5, atol=1e-6)

@@ -75,3 +75,35 @@ def test_conventional_unreliable_refines_to_256(data):
     want = glabels[oracle_pairwise(probes, gallery, 0, 256).argmin(1)]
     np.testing.assert_array_equal(preds, want)
     assert clf.unreliable_count == probes.shape[0]
+
+
+def test_conventional_refine_compaction_matches_full_refine(data):
+    """The host-compacted refine (only unreliable probes pay the 64->256
+    extension) must produce the same predictions as refining every probe."""
+    import jax.numpy as jnp
+
+    from fast_image_recognition_tpu.cascade.twd import (
+        ConventionalTWD,
+        TWDType,
+        _twd_refine,
+        _twd_stage1,
+    )
+
+    gallery, labels, probes, _ = data
+    num_classes = int(labels.max()) + 1
+    clf = ConventionalTWD(
+        gallery, labels, num_classes, TWDType.DIST_RATIO, 0.8,
+        reduced_features=16, refine_to=64,
+    )
+    preds = clf.predict(probes)
+    # full-batch refine reference
+    q = jnp.asarray(probes, jnp.float32)
+    d1, best_idx, reliable = _twd_stage1(
+        q, clf._g, clf._l, num_classes, 16, 0.8, TWDType.DIST_RATIO, clf.kind
+    )
+    refined = _twd_refine(q, d1, clf._g, 16, 64, clf.kind)
+    import numpy as np
+
+    want_idx = np.where(np.asarray(reliable), np.asarray(best_idx), np.asarray(refined))
+    np.testing.assert_array_equal(preds, labels[want_idx])
+    assert clf.unreliable_count == int((~np.asarray(reliable)).sum())
