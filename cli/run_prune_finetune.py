@@ -30,7 +30,8 @@ def synth_images(spec: str, seed: int):
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--synthetic", default="4,24,32", metavar="C,PER,RES")
-    parser.add_argument("--variant", default="b0")
+    parser.add_argument("--variant", default="b0",
+                    help="b0..b7 | mobilenetv2[_W] | inception_resnet_v2")
     parser.add_argument("--metric", default="l1", help="l1|apoz|taylor|class_sep|random")
     parser.add_argument("--fraction", type=float, default=0.25)
     parser.add_argument("--epochs", type=int, default=1)
@@ -39,7 +40,7 @@ def main() -> None:
 
     import jax.numpy as jnp
 
-    from fast_image_recognition_tpu.models import create_efficientnet, default_taps
+    from fast_image_recognition_tpu.models import create_backbone, default_taps_for
     from fast_image_recognition_tpu.models.pruning import (
         parameter_count,
         prune_efficientnet,
@@ -51,8 +52,8 @@ def main() -> None:
     tr_x, tr_y = images[:n_train], labels[:n_train]
     va_x, va_y = images[n_train:], labels[n_train:]
 
-    model, variables = create_efficientnet(args.variant, 0, resolution=res)
-    taps = tuple(default_taps(args.variant))
+    model, variables = create_backbone(args.variant, 0, resolution=res)
+    taps = tuple(default_taps_for(args.variant))
     cfg = TrainConfig(
         num_classes=c, taps=taps, resolution=res, batch_size=16,
         phase1_epochs=args.epochs, phase2_epochs=args.epochs,

@@ -34,7 +34,8 @@ def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--dataset-root", default=None, help="<class>/<img> dirs")
     parser.add_argument("--synthetic", default="6,30,32", metavar="C,PER,RES")
-    parser.add_argument("--variant", default="b0")
+    parser.add_argument("--variant", default="b0",
+                    help="b0..b7 | mobilenetv2[_W] | inception_resnet_v2")
     parser.add_argument("--train-count", type=int, default=20, help=":1410 train_count")
     parser.add_argument("--cache-dir", default="/tmp/fir_cache")
     parser.add_argument("--network-name", default=None)
@@ -52,7 +53,7 @@ def main() -> None:
     )
     from fast_image_recognition_tpu.data.pipeline import create_image_lists
     from fast_image_recognition_tpu.evaluation.harness import macro_recall_percent
-    from fast_image_recognition_tpu.models import create_efficientnet, default_taps
+    from fast_image_recognition_tpu.models import create_backbone, default_taps_for
     from fast_image_recognition_tpu.models.extractor import load_images
     from fast_image_recognition_tpu.models.train import MultiExitTrainer, TrainConfig
     from fast_image_recognition_tpu.utils.checkpoint import EmbeddingCache
@@ -75,8 +76,8 @@ def main() -> None:
     print(f"train={len(tr_y)} val={len(va_y)} classes={num_classes}")
 
     # --- model + per-level embeddings (cached, :816-886) -------------------
-    model, variables = create_efficientnet(args.variant, 0, resolution=res)
-    taps = tuple(default_taps(args.variant))
+    model, variables = create_backbone(args.variant, 0, resolution=res)
+    taps = tuple(default_taps_for(args.variant))
     network_name = args.network_name or f"{args.variant}_{res}_"
     cache = EmbeddingCache(args.cache_dir, network_name)
 

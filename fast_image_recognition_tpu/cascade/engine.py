@@ -24,10 +24,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fast_image_recognition_tpu.models.efficientnet import (
-    EfficientNet,
-    block_plan,
-)
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -50,7 +46,7 @@ class SequentialInferencePipeline:
 
     def __init__(
         self,
-        model: EfficientNet,
+        model,
         variables,
         taps: Sequence[str],
         coefs: Sequence[np.ndarray],  # per level [C, F_l] (+ final)
@@ -61,7 +57,7 @@ class SequentialInferencePipeline:
     ):
         self.model = model
         self.variables = variables
-        plan = block_plan(model.variant)
+        plan = model.plan_configs()
         name_to_idx = {b["name"]: i for i, b in enumerate(plan)}
         tap_idx = [name_to_idx[t] for t in taps]
         assert tap_idx == sorted(tap_idx), "taps must be in network order"

@@ -98,6 +98,7 @@ def block_plan(variant: str) -> List[Dict[str, Any]]:
                     out_filters=fo,
                     se_ratio=se,
                     stage=stage,
+                    activation="swish",
                 )
             )
     return plan
@@ -141,7 +142,18 @@ class SqueezeExcite(nn.Module):
         return x * nn.sigmoid(se)
 
 
+def _activation(name: str):
+    if name == "relu6":
+        return lambda x: jnp.minimum(nn.relu(x), 6.0)
+    return nn.swish
+
+
 class MBConv(nn.Module):
+    """Inverted-residual block: expand 1x1 -> depthwise -> (SE) -> project
+    1x1 with a linear bottleneck. Shared by EfficientNet (swish + SE) and
+    MobileNetV2 (relu6, no SE) — the same structure the reference's two
+    backbone families use (dnn_feature_extractor.py:19-56)."""
+
     kernel: int
     stride: int
     expand: int
@@ -152,9 +164,11 @@ class MBConv(nn.Module):
     dtype: Any = jnp.bfloat16
     # pruned hidden width (models/pruning.py surgery); None = in*expand
     hidden_filters: Optional[int] = None
+    activation: str = "swish"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        act = _activation(self.activation)
         bn = lambda name: nn.BatchNorm(  # noqa: E731
             use_running_average=not train,
             momentum=0.99,
@@ -168,7 +182,7 @@ class MBConv(nn.Module):
             x = nn.Conv(
                 filters, (1, 1), use_bias=False, dtype=self.dtype, name="expand_conv"
             )(x)
-            x = nn.swish(bn("expand_bn")(x))
+            x = act(bn("expand_bn")(x))
         x = nn.Conv(
             filters,
             (self.kernel, self.kernel),
@@ -179,7 +193,7 @@ class MBConv(nn.Module):
             dtype=self.dtype,
             name="dw_conv",
         )(x)
-        x = nn.swish(bn("dw_bn")(x))
+        x = act(bn("dw_bn")(x))
         if self.se_ratio > 0:
             se_filters = max(1, int(self.in_filters * self.se_ratio))
             x = SqueezeExcite(filters, se_filters, self.dtype, name="se")(x)
@@ -274,6 +288,12 @@ class EfficientNet(nn.Module):
 
     def block_names(self) -> List[str]:
         return [cfg["name"] for cfg in block_plan(self.variant)]
+
+    def plan_configs(self) -> List[Dict[str, Any]]:
+        """Static block configs — the backbone-protocol hook used by the
+        folding (models/inference.py), pruning (models/pruning.py) and
+        cascade (cascade/engine.py) machinery across model families."""
+        return block_plan(self.variant)
 
     def stem(self, x, train: bool = False):
         x = self.stem_conv(x)

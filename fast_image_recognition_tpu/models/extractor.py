@@ -18,18 +18,20 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from fast_image_recognition_tpu.models.efficientnet import (
-    VARIANTS,
-    EfficientNet,
-    create_efficientnet,
-    preprocess_images,
+from fast_image_recognition_tpu.models import (
+    backbone_info,
+    build_backbone,
+    create_backbone,
 )
+from fast_image_recognition_tpu.models.efficientnet import preprocess_images
 
 IMAGE_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp")
 
 
 class FeatureExtractor:
-    """Batched pooled-embedding extractor over an EfficientNet backbone."""
+    """Batched pooled-embedding extractor over any zoo backbone
+    ('b0'..'b7', 'mobilenetv2[_W]', 'inception_resnet_v2' — the
+    dnn_feature_extractor.py:19-56 model menu)."""
 
     def __init__(
         self,
@@ -41,13 +43,18 @@ class FeatureExtractor:
         folded: bool = True,
     ):
         self.variant = variant
-        self.resolution = resolution or VARIANTS[variant].resolution
+        self._info = backbone_info(variant)
+        self.resolution = resolution or self._info["resolution"]
         self.model, self.variables = (
-            create_efficientnet(variant, 0, seed, self.resolution)
+            create_backbone(variant, 0, seed, self.resolution)
             if variables is None
-            else (EfficientNet(variant=variant, num_classes=0), variables)
+            else (build_backbone(variant, 0), variables)
         )
         self.mesh = mesh
+        # BN-fold serving path covers the MBConv families; the inception
+        # family runs through the plain module apply.
+        if self._info["family"] == "inception_resnet_v2":
+            folded = False
 
         if folded:
             # Serving path: BN folded into convs, SE as dense matmuls
@@ -84,9 +91,7 @@ class FeatureExtractor:
 
     @property
     def embedding_dim(self) -> int:
-        from fast_image_recognition_tpu.models.efficientnet import round_filters
-
-        return round_filters(1280, VARIANTS[self.variant].width)
+        return int(self._info["embedding_dim"])
 
     def extract(self, images: np.ndarray, batch_size: int = 256) -> np.ndarray:
         """images: [N, H, W, 3] uint8/float -> [N, F] float32 embeddings."""

@@ -29,9 +29,7 @@ import numpy as np
 
 from fast_image_recognition_tpu.models.efficientnet import (
     VARIANTS,
-    block_plan,
     preprocess_images,
-    round_filters,
 )
 
 _BN_EPS = 1e-3
@@ -50,18 +48,20 @@ def _fold_conv_bn(kernel, bn_scale, bn_bias, bn_mean, bn_var, dtype):
     )
 
 
-def fold_efficientnet(
+def fold_backbone(
     model, variables, dtype: Any = jnp.bfloat16
 ) -> Tuple[Dict[str, Any], List[Dict[str, Any]]]:
-    """Returns (folded param pytree, static block config list).
+    """Returns (folded param pytree, static block config list) for any
+    backbone following the family protocol (EfficientNet, MobileNetV2 —
+    ``plan_configs()`` + stem/head/MBConv param naming).
 
     The pytree holds only arrays (jit-traceable); the config list holds the
-    static structure (strides, kernel sizes, residual flags) and must be
-    closed over, not traced.
+    static structure (strides, kernel sizes, activations, residual flags)
+    and must be closed over, not traced.
     """
     params = variables["params"]
     stats = variables["batch_stats"]
-    plan = block_plan(model.variant)
+    plan = model.plan_configs()
 
     def conv_bn(conv_name, bn_name, scope_p=params, scope_s=stats):
         return _fold_conv_bn(
@@ -130,6 +130,7 @@ def fold_efficientnet(
                 stride=cfg["stride"],
                 has_expand=has_expand,
                 has_se=has_se,
+                activation=cfg.get("activation", "swish"),
                 residual=(
                     cfg["stride"] == 1 and cfg["in_filters"] == cfg["out_filters"]
                 ),
@@ -137,6 +138,16 @@ def fold_efficientnet(
         )
     folded["blocks"] = blocks
     return folded, configs
+
+
+# EfficientNet was the first family; the fold is family-generic.
+fold_efficientnet = fold_backbone
+
+
+def _act(name: str):
+    if name == "relu6":
+        return lambda x: jnp.minimum(jax.nn.relu(x), 6.0)
+    return jax.nn.swish
 
 
 def _conv(x, w, b, stride: int = 1, groups: int = 1):
@@ -153,13 +164,12 @@ def _conv(x, w, b, stride: int = 1, groups: int = 1):
 
 
 def _block(x, p, cfg):
+    act = _act(cfg.get("activation", "swish"))
     h = x
     if cfg["has_expand"]:
-        h = jax.nn.swish(_conv(h, p["w_exp"], p["b_exp"]))
+        h = act(_conv(h, p["w_exp"], p["b_exp"]))
     ce = h.shape[-1]
-    h = jax.nn.swish(
-        _conv(h, p["w_dw"], p["b_dw"], stride=cfg["stride"], groups=ce)
-    )
+    h = act(_conv(h, p["w_dw"], p["b_dw"], stride=cfg["stride"], groups=ce))
     if cfg["has_se"]:
         s = jnp.mean(h, axis=(1, 2), dtype=jnp.float32)
         s = jax.nn.swish(s @ p["w_se1"] + p["b_se1"])
@@ -171,8 +181,55 @@ def _block(x, p, cfg):
     return h
 
 
-def folded_stem(folded, x):
-    return jax.nn.swish(_conv(x, folded["stem_w"], folded["stem_b"], stride=2))
+def folded_stem(folded, x, activation: str = "swish"):
+    return _act(activation)(
+        _conv(x, folded["stem_w"], folded["stem_b"], stride=2)
+    )
+
+
+def fold_preprocess_into_stem(folded, resolution: int, dtype: Any = jnp.bfloat16):
+    """Fold the (x - MEAN_RGB) / STDDEV_RGB normalization into the stem conv.
+
+    The normalization is affine per input channel, and conv is linear, so
+    ``conv((x - m)/s, W) == conv(x, W/s) - conv(m/s * ones, W)`` — the second
+    term is a constant correction map that differs from a per-channel bias
+    only at the SAME-padding borders (where fewer taps see the constant
+    image). Computing it as an actual conv of the constant image makes the
+    fold exact everywhere, borders included.
+
+    Replaces the reference's separate preprocessing pass
+    (dnn_feature_extractor.py:116-119) with zero extra HBM traffic: the stem
+    reads the raw (uint8/float) image directly.
+
+    Returns a new folded dict with keys ``stem_pp_w`` [3,3,3,C] and
+    ``stem_pp_corr`` [1, R/2, R/2, C] added.
+    """
+    from fast_image_recognition_tpu.models.efficientnet import MEAN_RGB, STDDEV_RGB
+
+    std = jnp.asarray(STDDEV_RGB, jnp.float32)
+    mean = jnp.asarray(MEAN_RGB, jnp.float32)
+    w = folded["stem_w"].astype(jnp.float32)  # [3, 3, 3, C]
+    w_pp = w / std[None, None, :, None]
+    # conv((x-m)/s, W) == conv(x, W/s) - conv(m * ones, W/s); the kernel is
+    # already scaled by 1/s, so the constant image is the raw mean.
+    const_img = jnp.broadcast_to(
+        mean[None, None, None, :], (1, resolution, resolution, 3)
+    )
+    corr = _conv(const_img, w_pp, jnp.zeros((w.shape[-1],), jnp.float32), stride=2)
+    out = dict(folded)
+    out["stem_pp_w"] = w_pp.astype(dtype)
+    out["stem_pp_corr"] = corr.astype(jnp.float32)
+    return out
+
+
+def folded_stem_pp(folded, images, activation: str = "swish"):
+    """Stem directly on raw images (uint8 or 0..255 float): preprocessing is
+    folded into the conv weights + correction map, so the big [B, R, R, 3]
+    normalized intermediate never exists."""
+    x = images.astype(folded["stem_pp_w"].dtype)
+    h = _conv(x, folded["stem_pp_w"], folded["stem_b"], stride=2)
+    h = h - folded["stem_pp_corr"].astype(h.dtype)
+    return _act(activation)(h)
 
 
 def folded_blocks(folded, configs, x, start: int = 0, end: Optional[int] = None):
@@ -184,8 +241,8 @@ def folded_blocks(folded, configs, x, start: int = 0, end: Optional[int] = None)
     return x
 
 
-def folded_head(folded, x):
-    x = jax.nn.swish(_conv(x, folded["head_w"], folded["head_b"]))
+def folded_head(folded, x, activation: str = "swish"):
+    x = _act(activation)(_conv(x, folded["head_w"], folded["head_b"]))
     return jnp.mean(x, axis=(1, 2), dtype=jnp.float32)
 
 
@@ -199,16 +256,27 @@ def folded_forward(
 ) -> Dict[str, Any]:
     """Full inference forward: preprocess -> stem -> blocks (+taps) -> head.
 
+    If the folded params carry ``stem_pp_w`` (see
+    ``fold_preprocess_into_stem``) and no resize is needed, the stem consumes
+    the raw image directly; otherwise the explicit preprocessing pass runs.
+
     Matches EfficientNet.__call__(train=False) output structure."""
-    x = preprocess_images(images, resolution).astype(dtype)
-    x = folded_stem(folded, x)
+    act = configs[0].get("activation", "swish") if configs else "swish"
+    needs_resize = resolution is not None and (
+        images.shape[1] != resolution or images.shape[2] != resolution
+    )
+    if "stem_pp_w" in folded and not needs_resize:
+        x = folded_stem_pp(folded, images, activation=act)
+    else:
+        x = preprocess_images(images, resolution).astype(dtype)
+        x = folded_stem(folded, x, activation=act)
     tapset = set(taps)
     tap_out: Dict[str, jax.Array] = {}
     for p, cfg in zip(folded["blocks"], configs):
         x = _block(x, p, cfg)
         if cfg["name"] in tapset:
             tap_out[cfg["name"]] = jnp.mean(x, axis=(1, 2), dtype=jnp.float32)
-    return {"embedding": folded_head(folded, x), "taps": tap_out}
+    return {"embedding": folded_head(folded, x, activation=act), "taps": tap_out}
 
 
 def make_infer_fn(
@@ -217,14 +285,22 @@ def make_infer_fn(
     taps: Sequence[str] = (),
     resolution: Optional[int] = None,
     dtype: Any = jnp.bfloat16,
+    fold_preprocess: bool = True,
 ):
     """Fold the model and return (jittable fn(folded, images) -> out, folded).
 
     The returned fn closes over the static block configs; ``folded`` is the
     array pytree to pass (and shard/donate) explicitly.
     """
-    folded, configs = fold_efficientnet(model, variables, dtype=dtype)
-    res = resolution or VARIANTS[model.variant].resolution
+    folded, configs = fold_backbone(model, variables, dtype=dtype)
+    if resolution is not None:
+        res = resolution
+    elif hasattr(model, "variant"):
+        res = VARIANTS[model.variant].resolution
+    else:
+        res = model.resolution
+    if fold_preprocess:
+        folded = fold_preprocess_into_stem(folded, res, dtype=dtype)
     taps = tuple(taps)
 
     def infer(folded, images):

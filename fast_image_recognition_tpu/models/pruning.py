@@ -26,10 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fast_image_recognition_tpu.models.efficientnet import (
-    EfficientNet,
-    block_plan,
-)
+from fast_image_recognition_tpu.models.efficientnet import EfficientNet
 
 
 def round_down_multiple(n: int, m: int) -> int:
@@ -64,7 +61,7 @@ def _block_hidden_activations(
     h = m.run_blocks(h, 0, block_index)
     blk_params = variables["params"][model.block_names()[block_index]]
     blk_stats = variables["batch_stats"][model.block_names()[block_index]]
-    cfg = block_plan(model.variant)[block_index]
+    cfg = model.plan_configs()[block_index]
 
     def bn(name, x):
         p = blk_params[name]
@@ -136,7 +133,7 @@ def taylor_importance(
         onehot = jax.nn.one_hot(y, num_classes)
         return -jnp.mean(jnp.sum(onehot * jax.nn.log_softmax(logits), axis=1))
 
-    out_filters = block_plan(model.variant)[block_index]["out_filters"]
+    out_filters = model.plan_configs()[block_index]["out_filters"]
     scale = jnp.ones((out_filters,), jnp.float32)
     if head is None:
         m = model.bind(variables)
@@ -178,7 +175,7 @@ def leave_one_out_importance(
     b = jnp.zeros((num_classes,), jnp.float32)
     x = jnp.asarray(images, jnp.float32)
     y = jnp.asarray(labels, jnp.int32)
-    out_filters = block_plan(model.variant)[block_index]["out_filters"]
+    out_filters = model.plan_configs()[block_index]["out_filters"]
 
     def tail_loss(variables, block_out):
         mm = model.bind(variables)
@@ -253,8 +250,8 @@ def _slice_block_params(block_params, block_stats, keep: np.ndarray, cfg):
     return new_p, new_s
 
 
-def prune_efficientnet(
-    model: EfficientNet,
+def prune_backbone(
+    model,
     variables,
     fraction: float = 0.25,
     metric: str = "l1",
@@ -270,7 +267,7 @@ def prune_efficientnet(
     if metric not in METRICS:
         raise ValueError(f"unknown metric {metric!r}; options: {sorted(METRICS)}")
     rng = np.random.default_rng(seed)
-    plan = block_plan(model.variant)
+    plan = model.plan_configs()
     params = dict(variables["params"])
     stats = dict(variables["batch_stats"])
     overrides: Dict[str, int] = {}
@@ -320,16 +317,18 @@ def prune_efficientnet(
         stats[name] = new_s
         overrides[name] = new_hidden
 
-    new_model = EfficientNet(
-        variant=model.variant,
-        num_classes=model.num_classes,
-        dtype=model.dtype,
+    new_model = model.clone(
         hidden_overrides=flax.core.FrozenDict(overrides)
         if hasattr(flax.core, "FrozenDict")
         else overrides,
     )
     new_vars = {"params": params, "batch_stats": stats}
     return new_model, new_vars
+
+
+# EfficientNet was the first family; surgery is family-generic (MobileNetV2
+# is the reference's actual pruning subject, keras_finetune_prune.py:895-928).
+prune_efficientnet = prune_backbone
 
 
 def apoz_hidden_scores(model, variables, images, block_index):
