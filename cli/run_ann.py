@@ -26,8 +26,8 @@ def main() -> None:
     parser.add_argument(
         "--methods",
         nargs="*",
-        default=["dem", "proj"],
-        choices=["dem", "dem-gather", "proj", "kdtree"],
+        default=["dem", "proj", "sw"],
+        choices=["dem", "dem-gather", "proj", "sw", "kdtree"],
         help="budgeted methods to sweep "
         "(the reference compares DEM vs FLANN vs NMSLIB, ann.cpp:55-70)",
     )
@@ -71,6 +71,10 @@ def main() -> None:
         )
     if "proj" in args.methods:
         methods.append(ProjectionIndexMatcher(gallery, proj_dim=32, seed=args.seed))
+    if "sw" in args.methods:
+        from fast_image_recognition_tpu.search.small_world import SmallWorldMatcher
+
+        methods.append(SmallWorldMatcher(gallery, seed=args.seed))
 
     ratio = args.ratio_start
     while ratio <= args.ratio_stop + 1e-9:

@@ -251,7 +251,15 @@ def topk_l2(
     if query_block is None:
         # fp32 HIGHEST-precision passes need larger MXU scratch; halve the
         # VMEM-resident query block to stay under the scoped-vmem limit.
+        # Larger k also shrinks the block: the iterative argmin extraction in
+        # _merge_topk keeps ~k live [B, TG] temporaries on the kernel stack
+        # (measured: B=1024, TG=1024, k=12 wants 19.2M > the 16M scoped
+        # limit), so halve once at k>4 and again at k>12.
         query_block = 256 if precise else MAX_QUERY_BLOCK
+        if k > 12:
+            query_block = min(query_block, 256)
+        elif k > 4:
+            query_block = min(query_block, 512)
     b, d = queries.shape
     n = n_valid if n_valid is not None else gallery.shape[0]
 

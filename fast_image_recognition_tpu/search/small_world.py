@@ -1,0 +1,248 @@
+"""Small-world graph ANN — the NMSLIB ``small_world_rand`` counterpart.
+
+Reference: qt_cpp/ann.h:121-157, ann.cpp:214-235 — the NMSLIB navigable
+small-world index (``small_world_rand``, NN=15 efConstruction-era NSW) with
+query-time budget tied to ``imageCountToCheck`` via distance-computation
+counting (ann.cpp:262 ``DistanceComputations``).
+
+TPU-native redesign (NOT a port of NMSLIB's pointer graph):
+
+- **Build**: the navigable graph is a dense ``[N, K]`` int32 neighbor table
+  — ``k_nn`` exact nearest neighbors (computed with the fused Pallas top-k
+  kernel, so the O(N²) build runs at MXU rate in gallery tiles) plus
+  ``k_rand`` seeded random long-range edges. NSW obtains both edge kinds
+  implicitly from randomized insertion; here they are explicit, which is
+  equivalent in search behavior (short edges give local convergence, random
+  edges give the small-world hops) and is a one-shot dense computation
+  instead of N sequential inserts.
+- **Search**: batched best-first beam search, one ``lax.while_loop`` for the
+  whole query batch. Each step expands the current beam's neighbor lists
+  with one gather, computes true distances with one batched contraction
+  (``einsum`` — MXU), masks already-visited nodes via a per-query visited
+  bitmap, and keeps the top-``beam`` frontier. All queries advance in
+  lockstep; per-query state is carried in arrays, not host control flow.
+- **Budget**: true distance computations are counted per query (visited
+  nodes are never recounted — same semantics as NMSLIB's
+  ``DistanceComputations``); a query stops expanding when its count reaches
+  the budget or its beam stops improving. ``checked_fraction`` reports
+  count/N like DEM's ``avgCheckedPercent`` (ann.h:29-30).
+
+Unlike the 'exact'-mode DEM accounting, the work here is genuinely
+sub-linear: only gathered rows are touched after the build.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BIG = 3.4e38
+
+
+def build_neighbor_table(
+    gallery: jax.Array,  # [N, D] float32
+    k_nn: int = 11,
+    k_rand: int = 4,
+    seed: int = 0,
+    batch: int = 1024,
+) -> jax.Array:
+    """[N, k_nn + k_rand] int32 neighbor ids (self-loops excluded)."""
+    from fast_image_recognition_tpu.ops.distance_kernel import pad_gallery, topk_l2
+
+    n = int(gallery.shape[0])
+    padded = pad_gallery(jnp.asarray(gallery, jnp.bfloat16))
+    knn_rows = []
+    for s in range(0, n, batch):
+        q = gallery[s : s + batch]
+        # k_nn + 1 then drop the self column (distance ~0 ranks first; on
+        # ties with duplicates dropping any one duplicate is equivalent).
+        _, idx = topk_l2(q, padded, k=k_nn + 1, n_valid=n)
+        idx = np.asarray(idx)
+        rows = np.empty((idx.shape[0], k_nn), np.int32)
+        for r in range(idx.shape[0]):
+            own = s + r
+            row = idx[r]
+            row = row[row != own][:k_nn]
+            if len(row) < k_nn:  # all-duplicate corner: pad with self-free picks
+                row = np.resize(row, k_nn) if len(row) else np.zeros(k_nn, np.int32)
+            rows[r] = row
+        knn_rows.append(rows)
+    knn = np.concatenate(knn_rows, axis=0)
+    rng = np.random.default_rng(seed)
+    rand = rng.integers(0, n, size=(n, k_rand), dtype=np.int64).astype(np.int32)
+    return jnp.asarray(np.concatenate([knn, rand], axis=1))
+
+
+@partial(jax.jit, static_argnames=("beam", "budget", "max_steps"))
+def _sw_search(
+    queries: jax.Array,  # [B, D]
+    gallery: jax.Array,  # [N, D]
+    gallery_sqnorm: jax.Array,  # [N]
+    neighbors: jax.Array,  # [N, K]
+    entry_ids: jax.Array,  # [B, beam] initial frontier
+    beam: int,
+    budget: int,
+    max_steps: int,
+):
+    b, d = queries.shape
+    n = gallery.shape[0]
+    k = neighbors.shape[1]
+    q32 = queries.astype(jnp.float32)
+    qn = jnp.sum(q32 * q32, axis=1)  # [B]
+
+    def true_dist(ids):  # ids [B, M] -> window-mean L2 (db_features.cpp:40)
+        feats = gallery[ids]  # [B, M, D] gather — the sub-linear touch
+        dots = jnp.einsum(
+            "bmd,bd->bm", feats.astype(jnp.float32), q32,
+            preferred_element_type=jnp.float32,
+        )
+        return (qn[:, None] + gallery_sqnorm[ids] - 2.0 * dots) / d
+
+    rows = jnp.arange(b)[:, None]
+
+    # Seed: evaluate the entry points.
+    d0 = true_dist(entry_ids)
+    visited0 = jnp.zeros((b, n), jnp.bool_).at[rows, entry_ids].set(True)
+    checked0 = jnp.full((b,), entry_ids.shape[1], jnp.int32)
+    order = jnp.argsort(d0, axis=1)[:, :beam]
+    front_ids0 = jnp.take_along_axis(entry_ids, order, axis=1)
+    front_d0 = jnp.take_along_axis(d0, order, axis=1)
+    front_exp0 = jnp.zeros((b, beam), jnp.bool_)  # expanded yet?
+    active0 = jnp.ones((b,), jnp.bool_)
+
+    def cond(state):
+        _, _, _, _, _, active, step = state
+        return jnp.logical_and(step < max_steps, jnp.any(active))
+
+    def body(state):
+        front_ids, front_d, front_exp, visited, checked, active, step = state
+        # Best-first: expand the closest not-yet-expanded beam slots. The
+        # wave width scales with remaining budget (>=1 so the walk always
+        # progresses), giving NMSLIB-like one-node-at-a-time granularity
+        # near the budget edge and full-beam waves when budget is ample.
+        w_act = jnp.clip((budget - checked) // k, 1, beam)
+        unexp = ~front_exp
+        expand_slot = jnp.logical_and(
+            jnp.logical_and(unexp, jnp.cumsum(unexp, axis=1) <= w_act[:, None]),
+            active[:, None],
+        )  # [B, beam]
+        cand = neighbors[front_ids].reshape(b, beam * k)  # [B, beam*K]
+        slot_mask = jnp.repeat(expand_slot, k, axis=1)  # candidate came from
+        # an expanded slot this wave
+        fresh = jnp.logical_and(~visited[rows, cand], slot_mask)
+        dc = jnp.where(fresh, true_dist(cand), BIG)
+        # Count each distinct fresh id once (duplicates inside the candidate
+        # row would double-count). Keys of non-expanded slots are offset so
+        # they never alias a real id's dedup group.
+        key = jnp.where(slot_mask, cand, cand + n)
+        srt = jnp.argsort(key, axis=1)
+        ks = jnp.take_along_axis(key, srt, axis=1)
+        dup_sorted = jnp.concatenate(
+            [jnp.zeros((b, 1), jnp.bool_), ks[:, 1:] == ks[:, :-1]], axis=1
+        )
+        inv = jnp.argsort(srt, axis=1)
+        first = ~jnp.take_along_axis(dup_sorted, inv, axis=1)
+        fresh = jnp.logical_and(fresh, first)
+        dc = jnp.where(first, dc, BIG)
+        new_count = jnp.sum(fresh, axis=1).astype(jnp.int32)
+
+        # Only candidates of expanded slots were evaluated — mark them.
+        visited = visited.at[rows, cand].set(
+            jnp.logical_or(visited[rows, cand], slot_mask)
+        )
+        checked_new = checked + new_count
+        front_exp = jnp.logical_or(front_exp, expand_slot)
+
+        merged_d = jnp.concatenate([front_d, dc], axis=1)
+        merged_i = jnp.concatenate([front_ids, cand], axis=1)
+        merged_e = jnp.concatenate(
+            [front_exp, jnp.ones((b, beam * k), jnp.bool_) & False], axis=1
+        )
+        order = jnp.argsort(merged_d, axis=1)[:, :beam]
+        nd = jnp.take_along_axis(merged_d, order, axis=1)
+        ni = jnp.take_along_axis(merged_i, order, axis=1)
+        ne = jnp.take_along_axis(merged_e, order, axis=1)
+        # Queries active THIS step keep their expansion results (even if it
+        # was their last — the probes were already paid for and counted).
+        keep = active[:, None]
+        front_ids = jnp.where(keep, ni, front_ids)
+        front_d = jnp.where(keep, nd, front_d)
+        front_exp = jnp.where(keep, ne, front_exp)
+        # NSW/efSearch stop rule: the walk ends when every beam slot has
+        # been expanded (no expansion produced a closer candidate) or the
+        # distance-computation budget is spent.
+        active = jnp.logical_and(
+            active,
+            jnp.logical_and(jnp.any(~front_exp, axis=1), checked_new < budget),
+        )
+        return front_ids, front_d, front_exp, visited, checked_new, active, step + 1
+
+    front_ids, front_d, _, _, checked, _, _ = jax.lax.while_loop(
+        cond, body, (front_ids0, front_d0, front_exp0, visited0, checked0, active0, 0)
+    )
+    return front_ids[:, 0], front_d[:, 0], checked
+
+
+class SmallWorldMatcher:
+    """Budgeted graph-ANN matcher ("small_world_rand" in reference
+    printouts, ann.cpp:214)."""
+
+    def __init__(
+        self,
+        gallery_features: np.ndarray,
+        k_nn: int = 11,
+        k_rand: int = 4,  # NN=15 total, the reference's initIndexParams
+        beam: int = 8,
+        image_count_to_check: int = 0,
+        seed: int = 0,
+    ):
+        self.name = f"small_world_rand(NN={k_nn + k_rand},beam={beam})"
+        self._n, self._d = gallery_features.shape
+        self.beam = int(beam)
+        self.seed = seed
+        self.gallery = jax.device_put(jnp.asarray(gallery_features, jnp.float32))
+        self.gallery_sqnorm = jnp.sum(self.gallery * self.gallery, axis=1)
+        self.neighbors = build_neighbor_table(
+            self.gallery, k_nn=k_nn, k_rand=k_rand, seed=seed
+        )
+        self.set_budget(image_count_to_check)
+
+    def set_budget(self, image_count_to_check: int) -> None:
+        if image_count_to_check <= 0 or image_count_to_check > self._n:
+            image_count_to_check = self._n
+        self.budget = int(image_count_to_check)
+
+    def search(self, queries: np.ndarray):
+        from fast_image_recognition_tpu.search.base import SearchResult
+
+        q = jnp.asarray(queries, jnp.float32)
+        b = int(q.shape[0])
+        rng = np.random.default_rng(self.seed + 1)
+        entries = jnp.asarray(
+            rng.integers(0, self._n, size=(b, self.beam), dtype=np.int64).astype(
+                np.int32
+            )
+        )
+        k = int(self.neighbors.shape[1])
+        # Every step expands >=1 beam slot and each beam entrant was a
+        # counted evaluation, so <= budget + beam expansions can ever
+        # happen; the cap below is a safety net, not the usual stop.
+        max_steps = self.budget + self.beam * k + 8
+        idx, dist, checked = _sw_search(
+            q,
+            self.gallery,
+            self.gallery_sqnorm,
+            self.neighbors,
+            entries,
+            beam=self.beam,
+            budget=self.budget,
+            max_steps=max_steps,
+        )
+        return SearchResult(
+            indices=np.asarray(idx, np.int32),
+            distances=np.asarray(dist, np.float32),
+            checked_fraction=np.asarray(checked, np.float32) / self._n,
+        )
