@@ -1,7 +1,10 @@
 """Directed Enumeration Method (DEM) — maximum-likelihood approximate NN.
 
 Reference: qt_cpp/ann.h:61-100, qt_cpp/ann.cpp:269-507 (the repo's signature
-algorithm, PIVOT mode — the compiled-in default, ann.cpp:270).
+algorithm). Both compile-time variants are implemented:
+``DirectedEnumerationMatcher`` is PIVOT mode (the compiled-in default,
+ann.cpp:270); ``FullMatrixDEM`` is the non-PIVOT full-matrix variant
+(ann.cpp:283-300, 474-499) with likelihood refinement after every probe.
 
 Reference semantics (PIVOT mode):
 - Build: N_p = max(5, 0.015*N) pivots (capped at 32, ann.cpp:332-333,
@@ -363,6 +366,182 @@ class DirectedEnumerationMatcher:
             distances=np.asarray(dist),
             checked_fraction=np.asarray(checked, dtype=np.float32) / self._n,
         )
+
+
+# ---------------------------------------------------------------------------
+# Non-PIVOT (full-matrix) DEM — ann.cpp:283-300, 474-499 under #ifndef PIVOT
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("budget", "n_start", "kind"))
+def _dem_full_search(
+    queries: jax.Array,  # [B, D]
+    gallery: jax.Array,  # [N, D]
+    p_full: jax.Array,  # [N, N] full distance matrix
+    start_idx: jax.Array,  # [S] int32 greedy-far start images
+    threshold: jax.Array,
+    budget: int,
+    n_start: int,
+    kind: DistanceKind = DistanceKind.L2,
+):
+    """Batched directed enumeration with per-probe likelihood refinement.
+
+    Reference (non-PIVOT): after every probed image nu with distance d, the
+    likelihood of every unchecked mu gains (d - P[nu, mu])^2 (ann.cpp:
+    487-497) — the probe ORDER is re-derived after each probe, unlike PIVOT
+    mode where the ranking is fixed once. The reference re-sorts every
+    TRIALS=2 probes (a partial_sort cost optimization); here the argmin is
+    re-evaluated every probe, which probes in at-least-as-directed order.
+    One lax.fori_loop step probes one candidate per query, all queries in
+    lockstep; early-exited queries are masked out of updates and counting.
+    """
+    b = queries.shape[0]
+    n = gallery.shape[0]
+    d_all = pairwise_distances(queries, gallery, kind=kind)  # [B, N]
+    rows = jnp.arange(b)
+
+    steps = min(budget, n)
+
+    def body(i, state):
+        lik, probed, best_d, best_i, done, checked = state
+        # start images probe in fixed order; afterwards most-likely first
+        cand_seed = start_idx[jnp.minimum(i, n_start - 1)]
+        cand_lik = jnp.argmin(jnp.where(probed, BIG, lik), axis=1)
+        cand = jnp.where(i < n_start, cand_seed, cand_lik).astype(jnp.int32)
+        cand = jnp.broadcast_to(cand, (b,)) if cand.ndim == 0 else cand
+        d = jnp.take_along_axis(d_all, cand[:, None], axis=1)[:, 0]
+        act = ~done
+        improved = jnp.logical_and(act, d < best_d)
+        best_d = jnp.where(improved, d, best_d)
+        best_i = jnp.where(improved, cand, best_i)
+        checked = checked + act.astype(jnp.int32)
+        done = jnp.logical_or(done, jnp.logical_and(act, d < threshold))
+        # refinement: lik[mu] += (d - P[cand, mu])^2 for active queries
+        p_rows = p_full[cand]  # [B, N] gather
+        delta = d[:, None] - p_rows
+        lik = lik + jnp.where(act[:, None], delta * delta, 0.0)
+        probed = probed.at[rows, cand].set(True)
+        return lik, probed, best_d, best_i, done, checked
+
+    init = (
+        jnp.zeros((b, n), jnp.float32),
+        jnp.zeros((b, n), jnp.bool_),
+        jnp.full((b,), BIG, jnp.float32),
+        jnp.full((b,), -1, jnp.int32),
+        jnp.zeros((b,), jnp.bool_),
+        jnp.zeros((b,), jnp.int32),
+    )
+    _, _, best_d, best_i, _, checked = jax.lax.fori_loop(0, steps, body, init)
+    return best_i, best_d, checked
+
+
+class FullMatrixDEM:
+    """Non-PIVOT DEM ("dem" with ``#ifndef PIVOT``): the full N x N model
+    distance matrix drives likelihood refinement after EVERY probe.
+
+    The reference compiles this variant out by default (ann.cpp:270
+    ``#define PIVOT``) because the O(N^2) matrix doesn't scale; it is kept
+    here with the same small-gallery constraint for algorithmic parity —
+    build cost O(N^2 / MXU) (one blocked self-distance pass), memory
+    O(N^2) fp32 on device."""
+
+    def __init__(
+        self,
+        gallery_features: np.ndarray,
+        gallery_labels: np.ndarray,
+        false_accept_rate: float = 0.01,
+        threshold: float = 0.0,
+        image_count_to_check: int = 0,
+        kind: DistanceKind = DistanceKind.L2,
+        seed: int = 0,
+        pivot_fraction: float = 0.015,
+        max_pivots: int = 32,
+    ):
+        self.name = "dem(full)"
+        self.kind = kind
+        self._n = n = gallery_features.shape[0]
+        rng = np.random.default_rng(seed)
+        # same greedy most-far start-image selection as PIVOT init
+        starts, _, _ = select_pivots(
+            gallery_features, gallery_labels, rng,
+            pivot_fraction=pivot_fraction, max_pivots=max_pivots, kind=kind,
+        )
+        g = jnp.asarray(gallery_features, jnp.float32)
+        p_full = np.asarray(pairwise_distances(g, g, kind=kind), np.float32)
+        if threshold <= 0:
+            # FAR quantile of each row's min distance to another class
+            # (ann.cpp:286-297 collects the first other-class neighbor)
+            other = np.where(
+                gallery_labels[None, :] != gallery_labels[:, None], p_full, BIG
+            ).min(axis=1)
+            threshold = get_threshold(other.astype(np.float32), false_accept_rate)
+        self.threshold = float(threshold)
+        self.gallery = jax.device_put(g)
+        self._p_full = jax.device_put(jnp.asarray(p_full))
+        self._start_idx = jax.device_put(jnp.asarray(starts, jnp.int32))
+        self.set_budget(image_count_to_check)
+
+    def set_budget(self, image_count_to_check: int) -> None:
+        if image_count_to_check <= 0 or image_count_to_check >= self._n:
+            image_count_to_check = self._n
+        self.budget = int(image_count_to_check)
+
+    def search(self, queries: np.ndarray):
+        from fast_image_recognition_tpu.search.base import SearchResult
+
+        q = jnp.asarray(queries, jnp.float32)
+        idx, dist, checked = _dem_full_search(
+            q,
+            self.gallery,
+            self._p_full,
+            self._start_idx,
+            jnp.float32(self.threshold),
+            self.budget,
+            int(self._start_idx.shape[0]),
+            self.kind,
+        )
+        return SearchResult(
+            indices=np.asarray(idx),
+            distances=np.asarray(dist),
+            checked_fraction=np.asarray(checked, np.float32) / self._n,
+        )
+
+
+def dem_full_oracle_search(
+    query: np.ndarray,
+    gallery: np.ndarray,
+    p_full: np.ndarray,
+    start_idx: np.ndarray,
+    threshold: float,
+    budget: int,
+    kind: DistanceKind = DistanceKind.L2,
+) -> Tuple[int, float, int]:
+    """Sequential non-PIVOT walk (ann.cpp:474-499) with per-probe
+    refinement. Returns (best_index, best_distance, checked)."""
+    n = gallery.shape[0]
+    if budget <= 0 or budget >= n:
+        budget = n
+    lik = np.zeros(n, np.float64)
+    probed = np.zeros(n, np.bool_)
+    best_idx, best_dist, checked = -1, np.inf, 0
+    for step in range(budget):
+        if step < len(start_idx):
+            cand = int(start_idx[step])
+            if probed[cand]:
+                continue
+        else:
+            masked = np.where(probed, np.inf, lik)
+            cand = int(np.argmin(masked))
+        d = oracle_pairwise(query[None], gallery[cand : cand + 1], kind=kind)[0, 0]
+        checked += 1
+        if d < best_dist:
+            best_dist, best_idx = d, cand
+            if d < threshold:
+                break
+        delta = d - p_full[cand]
+        lik += np.where(probed, 0.0, delta * delta)
+        probed[cand] = True
+    return best_idx, float(best_dist), checked
 
 
 # ---------------------------------------------------------------------------

@@ -149,3 +149,66 @@ def test_budget_at_or_below_pivot_count_probes_zero_candidates(data, matcher):
         assert res.indices[i] == oi
         np.testing.assert_allclose(res.distances[i], od, rtol=1e-4)
     matcher.set_budget(0)  # restore: 0 means unlimited
+
+
+# ---------------------------------------------------------------------------
+# Non-PIVOT (full-matrix) DEM — ann.cpp:283-300, 474-499 #ifndef PIVOT
+# ---------------------------------------------------------------------------
+
+from fast_image_recognition_tpu.search.dem import (  # noqa: E402
+    FullMatrixDEM,
+    dem_full_oracle_search,
+)
+
+
+@pytest.fixture(scope="module")
+def full_matcher(data):
+    gallery, glabels, _, _ = data
+    return FullMatrixDEM(gallery, glabels, seed=3)
+
+
+def test_full_dem_matches_oracle(data, full_matcher):
+    gallery, glabels, probes, _ = data
+    budget = 60
+    full_matcher.set_budget(budget)
+    res = full_matcher.search(probes)
+    p_full = np.asarray(full_matcher._p_full)
+    starts = np.asarray(full_matcher._start_idx)
+    agree = 0
+    checked_close = 0
+    for i in range(probes.shape[0]):
+        oi, od, oc = dem_full_oracle_search(
+            probes[i], gallery, p_full, starts, full_matcher.threshold, budget
+        )
+        agree += int(res.indices[i] == oi)
+        tpu_checked = int(round(res.checked_fraction[i] * gallery.shape[0]))
+        checked_close += int(abs(tpu_checked - oc) <= 2)
+    # fp32 vs fp64 refinement near-ties may reorder rare probes
+    assert agree >= int(0.9 * probes.shape[0])
+    assert checked_close >= int(0.85 * probes.shape[0])
+
+
+def test_full_dem_unlimited_budget_is_exact(data):
+    gallery, glabels, probes, _ = data
+    # threshold tiny -> no early exit; budget = N -> probes everything
+    m = FullMatrixDEM(gallery, glabels, threshold=1e-12, seed=3)
+    m.set_budget(0)
+    res = m.search(probes)
+    bf = BruteForceMatcher(gallery).search(probes)
+    np.testing.assert_array_equal(res.indices, bf.indices)
+    np.testing.assert_allclose(res.distances, bf.distances, rtol=1e-4, atol=1e-5)
+
+
+def test_full_dem_refinement_directs_better_than_pivot_at_tight_budget(data):
+    """The point of the full-matrix variant: per-probe refinement should
+    check no more of the gallery than the fixed pivot ranking at the same
+    budget (and usually converge faster on the true NN)."""
+    gallery, glabels, probes, _ = data
+    bf = BruteForceMatcher(gallery).search(probes)
+    budget = 50
+    full = FullMatrixDEM(gallery, glabels, seed=3)
+    full.set_budget(budget)
+    rf = full.search(probes)
+    acc_full = float(np.mean(glabels[rf.indices] == glabels[bf.indices]))
+    assert acc_full >= 0.5  # directed walk finds most NNs within 13% of N
+    assert rf.checked_fraction.max() <= budget / gallery.shape[0] + 1e-6
