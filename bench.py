@@ -24,23 +24,71 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
+# bf16 peak of the target part (v5e ~197 TF/s); override for other chips.
+PEAK_TFLOPS = float(os.environ.get("FIR_PEAK_TFLOPS", "197"))
 
-def _emit(metric: str, value: float, unit: str, baseline: float) -> None:
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(value, 1),
-                "unit": unit,
-                "vs_baseline": round(value / baseline, 3),
-            }
-        )
-    )
+
+def _emit(
+    metric: str,
+    value: float,
+    unit: str,
+    baseline: float,
+    flops_per_iter: float = 0.0,
+    sec_per_iter: float = 0.0,
+) -> None:
+    rec = {
+        "metric": metric,
+        "value": round(value, 1),
+        "unit": unit,
+        "vs_baseline": round(value / baseline, 3),
+    }
+    if flops_per_iter and sec_per_iter:
+        tflops = flops_per_iter / sec_per_iter / 1e12
+        rec["tflops"] = round(tflops, 1)
+        rec["mfu"] = round(tflops / PEAK_TFLOPS, 3)
+    print(json.dumps(rec))
+
+
+def _backbone_flops(configs, folded, resolution: int, batch: int) -> float:
+    """Exact conv/matmul FLOPs of one folded-forward dispatch, computed from
+    the folded weight shapes (an XLA cost_analysis would need a second AOT
+    compile, which stalls on the axon tunnel). Elementwise ops are excluded
+    (lower-order terms)."""
+    import numpy as np
+
+    def conv_flops(h, w, kshape, stride, groups=1):
+        kh, kw, cin, cout = kshape
+        ho, wo = -(-h // stride), -(-w // stride)
+        return 2.0 * ho * wo * kh * kw * cin * cout, ho, wo
+
+    total = 0.0
+    h = w = resolution
+    stem_w = folded.get("stem_pp_w", folded["stem_w"])
+    f, h, w = conv_flops(h, w, np.shape(stem_w), 2)
+    total += f
+    for p, cfg in zip(folded["blocks"], configs):
+        if cfg["has_expand"]:
+            f, _, _ = conv_flops(h, w, np.shape(p["w_exp"]), 1)
+            total += f
+        # depthwise kernel is [k, k, 1, Ce] (cin/groups = 1), so the plain
+        # product is already the grouped count
+        f, h, w = conv_flops(h, w, np.shape(p["w_dw"]), cfg["stride"])
+        total += f
+        if cfg["has_se"]:
+            total += 2.0 * (
+                np.prod(np.shape(p["w_se1"])) + np.prod(np.shape(p["w_se2"]))
+            )
+        f, _, _ = conv_flops(h, w, np.shape(p["w_proj"]), 1)
+        total += f
+    f, _, _ = conv_flops(h, w, np.shape(folded["head_w"]), 1)
+    total += f
+    return total * batch
 
 
 def _make_gallery(n: int, dim: int, rng, tile: int = 1024):
@@ -74,6 +122,14 @@ def bench_e2e(args) -> None:
         return topk_l2(emb, gallery, k=1, n_valid=args.gallery)
 
     fn = jax.jit(extract_and_match)
+    # extractor convs (analytic, from folded shapes) + the match kernel's
+    # dominant matmul term (2*B*N*D)
+    from fast_image_recognition_tpu.models.inference import fold_backbone
+
+    _, configs = fold_backbone(model, variables)
+    flops = _backbone_flops(configs, folded, res, args.batch) + (
+        2.0 * args.batch * args.gallery * 1280
+    )
     variables = folded
     images = jnp.asarray(
         rng.integers(0, 255, (args.batch, res, res, 3)).astype(np.float32)
@@ -84,13 +140,16 @@ def bench_e2e(args) -> None:
     for _ in range(args.iters):
         out = fn(variables, images, gallery)
     _ = np.asarray(out[0])
-    ips = args.batch / ((time.perf_counter() - t0) / args.iters)
+    sec = (time.perf_counter() - t0) / args.iters
+    ips = args.batch / sec
     _emit(
         f"images/sec/chip end-to-end (EfficientNet-{args.variant} extract + "
         f"1-NN match vs {args.gallery} gallery)",
         ips,
         "images/sec/chip",
         10_000.0,
+        flops_per_iter=flops,
+        sec_per_iter=sec,
     )
 
 
@@ -108,17 +167,23 @@ def bench_bf(args) -> None:
     fn = jax.jit(lambda q, g: topk_l2(q, g, k=1, n_valid=args.gallery))
     out = fn(queries, gallery)
     _ = np.asarray(out[0])
+    # Pallas kernels are opaque to XLA's cost model; the distance matmul is
+    # the dominant term: 2*B*N*D FLOPs (plus norms, a lower-order term).
+    flops = 2.0 * args.batch * args.gallery * 1536
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = fn(queries, gallery)
     _ = np.asarray(out[0])
-    qps = args.batch / ((time.perf_counter() - t0) / args.iters)
+    sec = (time.perf_counter() - t0) / args.iters
+    qps = args.batch / sec
     _emit(
         f"queries/sec/chip (fused brute-force 1-NN, D=1536, "
         f"{args.gallery} gallery)",
         qps,
         "queries/sec/chip",
         10_000.0,
+        flops_per_iter=flops,
+        sec_per_iter=sec,
     )
 
 
@@ -222,6 +287,42 @@ def bench_video(args) -> None:
     )
 
 
+_DEFAULTS = {
+    "e2e": dict(gallery=1_000_000, batch=1024, iters=20),
+    "bf": dict(gallery=1_000_000, batch=1024, iters=20),
+    "dem": dict(gallery=100_000, batch=128, iters=10),
+    "cascade": dict(gallery=0, batch=256, iters=5),
+    "video": dict(gallery=0, batch=0, iters=5),
+}
+
+_RUNNERS = {
+    "e2e": lambda a: bench_e2e(a),
+    "bf": lambda a: bench_bf(a),
+    "dem": lambda a: bench_dem(a),
+    "cascade": lambda a: bench_cascade(a),
+    "video": lambda a: bench_video(a),
+}
+
+
+def _apply_defaults(args, config: str):
+    import copy
+
+    a = copy.copy(args)
+    a.config = config
+    for k, v in _DEFAULTS[config].items():
+        if getattr(a, k) is None:
+            setattr(a, k, v)
+    if a.quick:
+        a.gallery = min(a.gallery or 0, 50_000) or 0
+        a.iters = max(2, a.iters // 4)
+        if config in ("e2e", "bf"):
+            a.batch = 256
+        if config == "cascade":
+            a.batch = 32
+            a.resolution = 64
+    return a
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
@@ -229,6 +330,11 @@ def main() -> None:
         default="e2e",
         choices=["e2e", "bf", "dem", "cascade", "video"],
         help="which BASELINE.json benchmark config to run",
+    )
+    parser.add_argument(
+        "--all",
+        action="store_true",
+        help="run every config, one JSON line each (e2e last)",
     )
     parser.add_argument("--gallery", type=int, default=None)
     parser.add_argument("--batch", type=int, default=None)
@@ -238,32 +344,12 @@ def main() -> None:
     parser.add_argument("--quick", action="store_true", help="small shapes for smoke runs")
     args = parser.parse_args()
 
-    defaults = {
-        "e2e": dict(gallery=1_000_000, batch=1024, iters=20),
-        "bf": dict(gallery=1_000_000, batch=1024, iters=20),
-        "dem": dict(gallery=100_000, batch=128, iters=10),
-        "cascade": dict(gallery=0, batch=256, iters=5),
-        "video": dict(gallery=0, batch=0, iters=5),
-    }[args.config]
-    for k, v in defaults.items():
-        if getattr(args, k) is None:
-            setattr(args, k, v)
-    if args.quick:
-        args.gallery = min(args.gallery or 0, 50_000) or 0
-        args.iters = max(2, args.iters // 4)
-        if args.config in ("e2e", "bf"):
-            args.batch = 256
-        if args.config == "cascade":
-            args.batch = 32
-            args.resolution = 64
-
-    {
-        "e2e": bench_e2e,
-        "bf": bench_bf,
-        "dem": bench_dem,
-        "cascade": bench_cascade,
-        "video": bench_video,
-    }[args.config](args)
+    if args.all:
+        for config in ("bf", "dem", "cascade", "video", "e2e"):
+            _RUNNERS[config](_apply_defaults(args, config))
+            sys.stdout.flush()
+    else:
+        _RUNNERS[args.config](_apply_defaults(args, args.config))
 
 
 if __name__ == "__main__":
