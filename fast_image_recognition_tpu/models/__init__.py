@@ -44,6 +44,7 @@ def backbone_info(name: str) -> Dict[str, Any]:
             resolution=v.resolution,
             embedding_dim=round_filters(1280, v.width),
             taps=default_taps(name),
+            preprocess="torch",  # MEAN_RGB/STDDEV_RGB (tf1 extractor :116-119)
         )
     if name.startswith("mobilenetv2"):
         width = _parse_mobilenet_width(name)
@@ -52,6 +53,7 @@ def backbone_info(name: str) -> Dict[str, Any]:
             resolution=224,
             embedding_dim=_make_divisible(1280 * max(width, 1.0)),
             taps=default_taps_mobilenet(width),
+            preprocess="tf",  # keras mobilenet_v2.preprocess_input = x/127.5-1
         )
     if name == "inception_resnet_v2":
         from fast_image_recognition_tpu.models.inception_resnet import (
@@ -64,6 +66,7 @@ def backbone_info(name: str) -> Dict[str, Any]:
             resolution=299,
             embedding_dim=INCEPTION_RESNET_EMBED_DIM,
             taps=default_taps_inception_resnet(),
+            preprocess="tf",  # keras inception_resnet_v2.preprocess_input
         )
     raise ValueError(f"unknown backbone {name!r}")
 

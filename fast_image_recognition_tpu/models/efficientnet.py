@@ -33,6 +33,11 @@ import jax.numpy as jnp
 # Official ImageNet preprocessing constants (dnn_feature_extractor.py:116-119).
 MEAN_RGB = (0.485 * 255, 0.456 * 255, 0.406 * 255)
 STDDEV_RGB = (0.229 * 255, 0.224 * 255, 0.225 * 255)
+# Keras "tf"-mode preprocess_input (x/127.5 - 1) — what the reference's zoo
+# applies for MobileNet(V2) / Inception* / ResNetV2 members
+# (dnn_feature_extractor.py:52-56 calls basemodel.preprocess_input).
+TF_MODE_MEAN = (127.5, 127.5, 127.5)
+TF_MODE_STD = (127.5, 127.5, 127.5)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -340,11 +345,17 @@ class EfficientNet(nn.Module):
         return out
 
 
-def preprocess_images(images: jax.Array, resolution: Optional[int] = None) -> jax.Array:
+def preprocess_images(
+    images: jax.Array,
+    resolution: Optional[int] = None,
+    mean: Tuple[float, float, float] = MEAN_RGB,
+    std: Tuple[float, float, float] = STDDEV_RGB,
+) -> jax.Array:
     """uint8/float RGB [B, H, W, 3] -> normalized float, optionally resized.
 
-    Matches (x - MEAN_RGB) / STDDEV_RGB on 0..255 inputs
-    (dnn_feature_extractor.py:116-119)."""
+    Default matches (x - MEAN_RGB) / STDDEV_RGB on 0..255 inputs
+    (dnn_feature_extractor.py:116-119); pass TF_MODE_MEAN/STD for the Keras
+    'tf'-mode families (x/127.5 - 1)."""
     x = images.astype(jnp.float32)
     if resolution is not None and (
         x.shape[1] != resolution or x.shape[2] != resolution
@@ -352,9 +363,7 @@ def preprocess_images(images: jax.Array, resolution: Optional[int] = None) -> ja
         x = jax.image.resize(
             x, (x.shape[0], resolution, resolution, x.shape[3]), method="bilinear"
         )
-    mean = jnp.asarray(MEAN_RGB, dtype=jnp.float32)
-    std = jnp.asarray(STDDEV_RGB, dtype=jnp.float32)
-    return (x - mean) / std
+    return (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
 
 
 def create_efficientnet(

@@ -56,13 +56,28 @@ class FeatureExtractor:
         if self._info["family"] == "inception_resnet_v2":
             folded = False
 
+        # family preprocessing: the reference's zoo calls each member's own
+        # preprocess_input (dnn_feature_extractor.py:52-56) — torch-style
+        # constants for EfficientNet, 'tf' mode (x/127.5 - 1) for the
+        # MobileNetV2 / Inception families.
+        if self._info.get("preprocess") == "tf":
+            from fast_image_recognition_tpu.models.efficientnet import (
+                TF_MODE_MEAN,
+                TF_MODE_STD,
+            )
+
+            pp_mean, pp_std = TF_MODE_MEAN, TF_MODE_STD
+        else:
+            pp_mean = pp_std = None  # defaults = MEAN_RGB/STDDEV_RGB
+
         if folded:
             # Serving path: BN folded into convs, SE as dense matmuls
             # (models/inference.py) — same outputs, ~10% faster.
             from fast_image_recognition_tpu.models.inference import make_infer_fn
 
             infer, self._folded = make_infer_fn(
-                self.model, self.variables, resolution=self.resolution
+                self.model, self.variables, resolution=self.resolution,
+                mean=pp_mean, std=pp_std,
             )
 
             def forward(variables, images):
@@ -72,7 +87,10 @@ class FeatureExtractor:
             self._folded = None
 
             def forward(variables, images):
-                x = preprocess_images(images, self.resolution)
+                kw = {}
+                if pp_mean is not None:
+                    kw = {"mean": pp_mean, "std": pp_std}
+                x = preprocess_images(images, self.resolution, **kw)
                 return self.model.apply(variables, x, train=False)["embedding"]
 
         if mesh is not None:

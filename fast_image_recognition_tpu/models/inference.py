@@ -187,7 +187,13 @@ def folded_stem(folded, x, activation: str = "swish"):
     )
 
 
-def fold_preprocess_into_stem(folded, resolution: int, dtype: Any = jnp.bfloat16):
+def fold_preprocess_into_stem(
+    folded,
+    resolution: int,
+    dtype: Any = jnp.bfloat16,
+    mean=None,
+    std=None,
+):
     """Fold the (x - MEAN_RGB) / STDDEV_RGB normalization into the stem conv.
 
     The normalization is affine per input channel, and conv is linear, so
@@ -206,8 +212,8 @@ def fold_preprocess_into_stem(folded, resolution: int, dtype: Any = jnp.bfloat16
     """
     from fast_image_recognition_tpu.models.efficientnet import MEAN_RGB, STDDEV_RGB
 
-    std = jnp.asarray(STDDEV_RGB, jnp.float32)
-    mean = jnp.asarray(MEAN_RGB, jnp.float32)
+    std = jnp.asarray(STDDEV_RGB if std is None else std, jnp.float32)
+    mean = jnp.asarray(MEAN_RGB if mean is None else mean, jnp.float32)
     w = folded["stem_w"].astype(jnp.float32)  # [3, 3, 3, C]
     w_pp = w / std[None, None, :, None]
     # conv((x-m)/s, W) == conv(x, W/s) - conv(m * ones, W/s); the kernel is
@@ -225,11 +231,60 @@ def fold_preprocess_into_stem(folded, resolution: int, dtype: Any = jnp.bfloat16
 def folded_stem_pp(folded, images, activation: str = "swish"):
     """Stem directly on raw images (uint8 or 0..255 float): preprocessing is
     folded into the conv weights + correction map, so the big [B, R, R, 3]
-    normalized intermediate never exists."""
-    x = images.astype(folded["stem_pp_w"].dtype)
-    h = _conv(x, folded["stem_pp_w"], folded["stem_b"], stride=2)
+    normalized intermediate never exists. When the space-to-depth weights
+    are present (``fold_stem_space_to_depth``) the stride-2 3-channel conv
+    runs as a stride-1 2x2 conv over 12-channel half-resolution blocks."""
+    if "stem_s2d_w" in folded:
+        x = images.astype(folded["stem_s2d_w"].dtype)
+        b, r, _, c = x.shape
+        hh = r // 2
+        xs = x.reshape(b, hh, 2, hh, 2, c).transpose(0, 1, 3, 2, 4, 5)
+        xs = xs.reshape(b, hh, hh, 4 * c)
+        xs = jnp.pad(xs, ((0, 0), (0, 1), (0, 1), (0, 0)))  # SAME high pad
+        dn = jax.lax.conv_dimension_numbers(
+            xs.shape, folded["stem_s2d_w"].shape, ("NHWC", "HWIO", "NHWC")
+        )
+        h = jax.lax.conv_general_dilated(
+            xs, folded["stem_s2d_w"], (1, 1), "VALID", dimension_numbers=dn
+        ) + folded["stem_b"]
+    else:
+        x = images.astype(folded["stem_pp_w"].dtype)
+        h = _conv(x, folded["stem_pp_w"], folded["stem_b"], stride=2)
     h = h - folded["stem_pp_corr"].astype(h.dtype)
     return _act(activation)(h)
+
+
+def fold_stem_space_to_depth(folded, resolution: int):
+    """Rewrite the (preprocess-folded) stem as a space-to-depth conv.
+
+    EXPERIMENTAL, off by default: measured on v5e (B=1024, 224^2) the
+    whole-net time was 52.0 ms with this fold vs 49.6 ms without — XLA's
+    TPU conv emitter already handles the narrow stem well, and the
+    explicit repack costs an extra HBM pass. Kept (exact, tested) for
+    platforms where the stem does dominate.
+
+    The 3-channel stride-2 3x3 stem conv is layout-starved on the MXU (27-
+    deep contraction over a 224x224 plane). Packing 2x2 pixel blocks into
+    channels makes it a stride-1 2x2 conv with a 12-deep contraction on a
+    112x112 plane — identical math (the classic TPU input optimization,
+    here derived for SAME/stride-2/k=3: pad_low must be 0, true for every
+    even resolution).
+
+    K2[p, q, (r, s, c), o] = Wpad[2p + r, 2q + s, c, o],  Wpad = W zero-
+    padded to 4x4 taps; the input packs x[2i+r, 2j+s, c] into channel
+    (r*2+s)*3+c (see folded_stem_pp).
+    """
+    if resolution % 2:
+        return folded  # odd resolutions keep the plain stride-2 stem
+    w = folded["stem_pp_w"]  # [3, 3, 3, C]
+    k, _, cin, cout = w.shape
+    if k != 3:
+        return folded
+    w4 = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))  # [4, 4, 3, C]
+    k2 = w4.reshape(2, 2, 2, 2, cin, cout).transpose(0, 2, 1, 3, 4, 5)
+    out = dict(folded)
+    out["stem_s2d_w"] = k2.reshape(2, 2, 4 * cin, cout)
+    return out
 
 
 def folded_blocks(folded, configs, x, start: int = 0, end: Optional[int] = None):
@@ -253,6 +308,9 @@ def folded_forward(
     taps: Sequence[str] = (),
     resolution: Optional[int] = None,
     dtype: Any = jnp.bfloat16,
+    mean=None,
+    std=None,
+    fused: bool = False,
 ) -> Dict[str, Any]:
     """Full inference forward: preprocess -> stem -> blocks (+taps) -> head.
 
@@ -268,12 +326,22 @@ def folded_forward(
     if "stem_pp_w" in folded and not needs_resize:
         x = folded_stem_pp(folded, images, activation=act)
     else:
-        x = preprocess_images(images, resolution).astype(dtype)
+        kw = {}
+        if mean is not None:
+            kw["mean"] = mean
+        if std is not None:
+            kw["std"] = std
+        x = preprocess_images(images, resolution, **kw).astype(dtype)
         x = folded_stem(folded, x, activation=act)
     tapset = set(taps)
     tap_out: Dict[str, jax.Array] = {}
+    if fused:
+        from fast_image_recognition_tpu.ops.mbconv_kernel import fused_mbconv
     for p, cfg in zip(folded["blocks"], configs):
-        x = _block(x, p, cfg)
+        # stride-2 blocks stay on XLA: Mosaic's strided load requires an
+        # exactly-128-lane memref, which no EfficientNet hidden width has
+        use_fused = fused and cfg["stride"] == 1
+        x = fused_mbconv(x, p, cfg) if use_fused else _block(x, p, cfg)
         if cfg["name"] in tapset:
             tap_out[cfg["name"]] = jnp.mean(x, axis=(1, 2), dtype=jnp.float32)
     return {"embedding": folded_head(folded, x, activation=act), "taps": tap_out}
@@ -286,11 +354,19 @@ def make_infer_fn(
     resolution: Optional[int] = None,
     dtype: Any = jnp.bfloat16,
     fold_preprocess: bool = True,
+    mean=None,
+    std=None,
+    fused: bool = False,
+    space_to_depth: bool = False,
 ):
     """Fold the model and return (jittable fn(folded, images) -> out, folded).
 
     The returned fn closes over the static block configs; ``folded`` is the
-    array pytree to pass (and shard/donate) explicitly.
+    array pytree to pass (and shard/donate) explicitly. ``mean``/``std``
+    select the family's preprocessing constants (default: EfficientNet's
+    MEAN_RGB/STDDEV_RGB; pass TF_MODE_* for the Keras 'tf'-mode families).
+    ``fused=True`` runs every MBConv block through the fused Pallas kernel
+    (ops/mbconv_kernel.py) — hidden tensors never leave VMEM.
     """
     folded, configs = fold_backbone(model, variables, dtype=dtype)
     if resolution is not None:
@@ -300,12 +376,17 @@ def make_infer_fn(
     else:
         res = model.resolution
     if fold_preprocess:
-        folded = fold_preprocess_into_stem(folded, res, dtype=dtype)
+        folded = fold_preprocess_into_stem(
+            folded, res, dtype=dtype, mean=mean, std=std
+        )
+        if space_to_depth:
+            folded = fold_stem_space_to_depth(folded, res)
     taps = tuple(taps)
 
     def infer(folded, images):
         return folded_forward(
-            folded, configs, images, taps=taps, resolution=res, dtype=dtype
+            folded, configs, images, taps=taps, resolution=res, dtype=dtype,
+            mean=mean, std=std, fused=fused,
         )
 
     return infer, folded

@@ -45,28 +45,33 @@ def main() -> None:
     folded, configs = fold_backbone(model, variables)
     folded = fold_preprocess_into_stem(folded, res)
     rng = np.random.default_rng(0)
-    images = jnp.asarray(
-        rng.integers(0, 255, (args.batch, res, res, 3)).astype(np.float32)
-    )
+    # upload uint8 (4x less tunnel traffic); the pp-folded stem consumes raw
+    images = jnp.asarray(rng.integers(0, 255, (args.batch, res, res, 3), dtype=np.uint8))
+
+    # Sync on a 4-byte scalar: fetching full activations (hundreds of MB)
+    # over the tunnel would dominate the measurement.
+    scalar = jax.jit(lambda o: jnp.sum(jax.tree.leaves(o)[0].astype(jnp.float32)))
 
     def timed(fn, *xs, label=""):
         f = jax.jit(fn)
         out = f(*xs)
-        jax.tree.map(lambda a: None, out)
-        first = jax.tree.leaves(out)[0]
-        _ = np.asarray(first)  # sync
+        _ = np.asarray(scalar(out))  # compile + sync
         t0 = time.perf_counter()
         for _ in range(args.iters):
             out = f(*xs)
-        _ = np.asarray(jax.tree.leaves(out)[0])
+        _ = np.asarray(scalar(out))
         ms = (time.perf_counter() - t0) / args.iters * 1e3
-        print(f"{label:34s} {ms:8.2f} ms")
+        print(f"{label:34s} {ms:8.2f} ms", flush=True)
         return out, ms
 
-    # stage boundaries from the plan
+    # stage boundaries from the block names ('block{stage}{letter}')
+    import re
+
     stages = {}
     for i, c in enumerate(configs):
-        stages.setdefault(c.get("stage", 0), []).append(i)
+        stage = int(re.match(r"block(\d+)", c["name"]).group(1))
+        c["stage"] = stage
+        stages.setdefault(stage, []).append(i)
     bounds = [(min(v), max(v) + 1) for _, v in sorted(stages.items())]
 
     total = 0.0

@@ -185,3 +185,34 @@ def test_backbone_factory():
     assert default_taps_for("mobilenetv2") == default_taps_mobilenet(1.0)
     info_b0 = backbone_info("b0")
     assert info_b0["embedding_dim"] == 1280
+
+
+def test_family_preprocessing_is_tf_mode(model_vars):
+    """The reference zoo calls each member's own preprocess_input
+    (dnn_feature_extractor.py:52-56); MobileNetV2's is 'tf' mode
+    (x/127.5 - 1), not EfficientNet's MEAN/STDDEV constants."""
+    from fast_image_recognition_tpu.models import backbone_info
+    from fast_image_recognition_tpu.models.efficientnet import (
+        TF_MODE_MEAN,
+        TF_MODE_STD,
+        preprocess_images,
+    )
+    from fast_image_recognition_tpu.models.extractor import FeatureExtractor
+
+    assert backbone_info("mobilenetv2")["preprocess"] == "tf"
+    assert backbone_info("inception_resnet_v2")["preprocess"] == "tf"
+    assert backbone_info("b0")["preprocess"] == "torch"
+
+    model, variables = model_vars
+    imgs = np.random.default_rng(7).integers(0, 255, (2, RES, RES, 3)).astype(
+        np.uint8
+    )
+    ex = FeatureExtractor("mobilenetv2", variables=variables, resolution=RES)
+    got = ex.extract(imgs, batch_size=2)
+    x = preprocess_images(
+        jnp.asarray(imgs, jnp.float32), RES, mean=TF_MODE_MEAN, std=TF_MODE_STD
+    )
+    want = np.asarray(model.apply(variables, x)["embedding"])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    # 'tf' preprocessing maps 0..255 to [-1, 1]
+    assert float(jnp.max(jnp.abs(x))) <= 1.0 + 1e-6
