@@ -57,8 +57,8 @@ def build_matcher(
     seed: int = 0,
     mesh=None,
 ):
-    """method: 'bf' | 'bf-sharded' | 'dem' | 'dem-gather' | 'proj' |
-    'kdtree'. Budgets come from cfg.image_count_to_check."""
+    """method: 'bf' | 'bf-sharded' | 'dem' | 'dem-gather' | 'dem-full' |
+    'proj' | 'sw' | 'kdtree'. Budgets come from cfg.image_count_to_check."""
     cfg = cfg or MatcherConfig()
     if method == "bf":
         from fast_image_recognition_tpu.search import BruteForceMatcher
@@ -88,6 +88,19 @@ def build_matcher(
             probe_mode="gather" if method == "dem-gather" else "exact",
         )
         return m
+    if method == "dem-full":
+        from fast_image_recognition_tpu.search.dem import FullMatrixDEM
+
+        return FullMatrixDEM(
+            gallery,
+            labels,
+            false_accept_rate=cfg.false_accept_rate,
+            image_count_to_check=cfg.image_count_to_check,
+            kind=cfg.distance,
+            seed=seed,
+            pivot_fraction=cfg.dem_pivot_fraction,
+            max_pivots=cfg.dem_max_pivots,
+        )
     if method == "proj":
         from fast_image_recognition_tpu.search.projection import (
             ProjectionIndexMatcher,
@@ -97,6 +110,16 @@ def build_matcher(
         if cfg.image_count_to_check:
             m.set_budget(cfg.image_count_to_check)
         return m
+    if method == "sw":
+        from fast_image_recognition_tpu.search.small_world import (
+            SmallWorldMatcher,
+        )
+
+        return SmallWorldMatcher(
+            gallery,
+            image_count_to_check=cfg.image_count_to_check,
+            seed=seed,
+        )
     if method == "kdtree":
         from fast_image_recognition_tpu.search.projection import KDTreeMatcher
 

@@ -24,14 +24,18 @@ def sets():
     return make_gallery_and_probes(10, 12, 2, 64, seed=151)
 
 
-@pytest.mark.parametrize("method", ["bf", "dem", "dem-gather", "proj", "kdtree"])
+@pytest.mark.parametrize(
+    "method", ["bf", "dem", "dem-gather", "dem-full", "proj", "sw", "kdtree"]
+)
 def test_matchers_from_config(sets, method):
     g, gl, p, pl = sets
     m = build_matcher(
         method, g, gl, MatcherConfig(image_count_to_check=40), seed=1
     )
     res = m.search(p)
-    assert (gl[res.indices] == pl).mean() > 0.9
+    # graph search at a 40-of-120 budget is approximate by design
+    floor = 0.6 if method == "sw" else 0.9
+    assert (gl[res.indices] == pl).mean() > floor
 
 
 def test_unknown_method(sets):

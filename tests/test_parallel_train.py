@@ -1,0 +1,83 @@
+"""Sharded multi-exit training (parallel/train.py) on the simulated
+8-device mesh: step runs, loss decreases, head shardings hold, and the
+sharded loss matches a single-device replay (the collectives are
+semantically transparent)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from fast_image_recognition_tpu.models import create_efficientnet, default_taps
+from fast_image_recognition_tpu.parallel.train import (
+    make_sharded_train_step,
+    place_batch,
+    train_mesh,
+)
+
+RES = 32
+NUM_CLASSES = 8
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model, variables = create_efficientnet("b0", 0, resolution=RES)
+    taps = tuple(default_taps("b0"))
+    mesh = train_mesh(8)
+    state, step = make_sharded_train_step(
+        model, variables, taps, NUM_CLASSES, mesh, resolution=RES, seed=0
+    )
+    return model, variables, taps, mesh, state, step
+
+
+def test_mesh_shape(setup):
+    _, _, _, mesh, _, _ = setup
+    assert mesh.shape == {"data": 4, "model": 2}
+
+
+def test_step_runs_and_loss_decreases(setup):
+    model, variables, taps, mesh, state, step = setup
+    rng = np.random.default_rng(0)
+    images, labels = place_batch(
+        mesh,
+        rng.normal(size=(8, RES, RES, 3)).astype(np.float32),
+        rng.integers(0, NUM_CLASSES, 8).astype(np.int32),
+    )
+    losses = []
+    key = jax.random.PRNGKey(0)
+    for i in range(6):
+        state, loss = step(state, images, labels, jax.random.fold_in(key, i))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # same batch, adam: must descend
+
+
+def test_head_shardings(setup):
+    _, _, _, mesh, state, _ = setup
+    w = state.heads[0]["w"]
+    # class dim sharded over 'model' (2-way)
+    spec = w.sharding.spec
+    assert spec[-1] == "model"
+
+
+def test_sharded_loss_matches_single_device(setup):
+    """One forward's loss on the 8-device mesh equals the same math run
+    replicated on one device (deterministic: train=False equivalent is not
+    available for the loss path, so fix the dropout/depth keys)."""
+    model, variables, taps, mesh, state, step = setup
+    rng = np.random.default_rng(1)
+    imgs = rng.normal(size=(8, RES, RES, 3)).astype(np.float32)
+    labels = rng.integers(0, NUM_CLASSES, 8).astype(np.int32)
+
+    # single-device replay of the first step's loss via a 1x1 mesh
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), ("data", "model"))
+    state1, step1 = make_sharded_train_step(
+        model, variables, taps, NUM_CLASSES, mesh1, resolution=RES, seed=0
+    )
+    im8, lb8 = place_batch(mesh, imgs, labels)
+    im1, lb1 = place_batch(mesh1, imgs, labels)
+    _, loss8 = step(state, im8, lb8, jax.random.PRNGKey(42))
+    _, loss1 = step1(state1, im1, lb1, jax.random.PRNGKey(42))
+    # bf16 backbone + different reduction orders across layouts: ~1e-3
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=3e-3)
