@@ -106,49 +106,55 @@ class SequentialInferencePipeline:
         return self._seg_fns[level]
 
     def predict(self, images: np.ndarray, warmup: bool = False) -> PipelineResult:
+        """Sequential inference with DEVICE-side batch compaction.
+
+        Activations never leave the device: after each segment only the
+        small [n, C] score matrix crosses to the host (which decides who
+        exits), and survivors are gathered on-device with ``jnp.take``
+        into the next bucket shape. The original host-compaction variant
+        shipped the full [n, H, W, C] carry back and forth per level —
+        tens of MB per transfer, which dominated wall-clock over a
+        host<->device link."""
         b = images.shape[0]
         preds = np.zeros(b, dtype=np.int64)
         exit_level = np.full(b, self.num_levels - 1, dtype=np.int64)
-        active = np.arange(b)
-        x = np.asarray(images, np.float32)
+        # accept a device-resident batch (serving path: upload once, predict
+        # many) — only convert when handed host data
+        x = images if isinstance(images, jax.Array) else np.asarray(
+            images, np.float32
+        )
 
         t0 = time.perf_counter()
-        carry = x
         max_b = self.buckets[-1]
-        for level in range(self.num_levels):
-            if active.size == 0:
-                break
-            surv_idx = []
-            surv_carry = []
-            for s in range(0, active.size, max_b):
-                idx = active[s : s + max_b]
-                chunk = carry[s : s + max_b]
-                bucket = _bucket(len(idx), self.buckets)
-                if chunk.shape[0] < bucket:
-                    pad = np.zeros(
-                        (bucket - chunk.shape[0],) + chunk.shape[1:], chunk.dtype
-                    )
-                    chunk = np.concatenate([chunk, pad], axis=0)
-                h, scores = self._get_seg(level)(
-                    self.variables, jnp.asarray(chunk)
+        for s in range(0, b, max_b):
+            gidx = np.arange(s, min(s + max_b, b))
+            chunk = x[s : s + max_b]
+            bucket = _bucket(len(gidx), self.buckets)
+            if chunk.shape[0] < bucket:
+                pad = jnp.zeros(
+                    (bucket - chunk.shape[0],) + chunk.shape[1:], chunk.dtype
                 )
-                scores = np.asarray(scores)[: len(idx)]
-                level_pred = scores.argmax(axis=1)
+                chunk = jnp.concatenate([jnp.asarray(chunk), pad], axis=0)
+            carry = jnp.asarray(chunk)  # device-resident from here on
+            for level in range(self.num_levels):
+                h, scores = self._get_seg(level)(self.variables, carry)
+                sc = np.asarray(scores)[: len(gidx)]  # the ONLY transfer
+                level_pred = sc.argmax(axis=1)
                 if level == self.num_levels - 1:
-                    fire = np.ones(len(idx), dtype=bool)
+                    fire = np.ones(len(gidx), dtype=bool)
                 else:
-                    fire = scores.max(axis=1) > self.thresholds[level]
-                preds[idx[fire]] = level_pred[fire]
-                exit_level[idx[fire]] = level
+                    fire = sc.max(axis=1) > self.thresholds[level]
+                preds[gidx[fire]] = level_pred[fire]
+                exit_level[gidx[fire]] = level
                 keep = ~fire
-                if keep.any():
-                    surv_idx.append(idx[keep])
-                    surv_carry.append(np.asarray(h)[: len(idx)][keep])
-            if surv_idx:
-                active = np.concatenate(surv_idx)
-                carry = np.concatenate(surv_carry, axis=0)
-            else:
-                active = np.empty(0, dtype=np.int64)
+                if not keep.any() or level == self.num_levels - 1:
+                    break
+                keep_idx = np.nonzero(keep)[0]
+                gidx = gidx[keep]
+                new_bucket = _bucket(len(keep_idx), self.buckets)
+                take = np.zeros(new_bucket, np.int64)
+                take[: len(keep_idx)] = keep_idx
+                carry = jnp.take(h, jnp.asarray(take), axis=0)
         elapsed = time.perf_counter() - t0
 
         counts = np.bincount(exit_level, minlength=self.num_levels) / b
