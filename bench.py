@@ -106,15 +106,30 @@ def bench_e2e(args) -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from fast_image_recognition_tpu.models import create_efficientnet
+    from fast_image_recognition_tpu.models import backbone_info, create_backbone
     from fast_image_recognition_tpu.models.inference import make_infer_fn
     from fast_image_recognition_tpu.ops.distance_kernel import topk_l2
 
-    res = args.resolution
-    model, variables = create_efficientnet(args.variant, 0, resolution=res)
-    infer, folded = make_infer_fn(model, variables, resolution=res)
+    info = backbone_info(args.variant)
+    res = args.resolution or int(info["resolution"])
+    model, variables = create_backbone(args.variant, 0, resolution=res)
+    if info["family"] == "inception_resnet_v2":
+        # no BN-fold path for the inception family: plain module apply
+        from fast_image_recognition_tpu.models.efficientnet import (
+            TF_MODE_MEAN,
+            TF_MODE_STD,
+            preprocess_images,
+        )
+
+        def infer(variables, images):
+            x = preprocess_images(images, res, TF_MODE_MEAN, TF_MODE_STD)
+            return model.apply(variables, x, train=False)
+
+        folded = variables
+    else:
+        infer, folded = make_infer_fn(model, variables, resolution=res)
     rng = np.random.default_rng(0)
-    gallery, _ = _make_gallery(args.gallery, 1280, rng)
+    gallery, _ = _make_gallery(args.gallery, int(info["embedding_dim"]), rng)
 
     def extract_and_match(folded, images, gallery):
         emb = infer(folded, images)["embedding"]
@@ -122,14 +137,14 @@ def bench_e2e(args) -> None:
         return topk_l2(emb, gallery, k=1, n_valid=args.gallery)
 
     fn = jax.jit(extract_and_match)
-    # extractor convs (analytic, from folded shapes) + the match kernel's
-    # dominant matmul term (2*B*N*D)
-    from fast_image_recognition_tpu.models.inference import fold_backbone
+    # extractor convs (analytic, from folded shapes; MBConv families only)
+    # + the match kernel's dominant matmul term (2*B*N*D)
+    flops = 2.0 * args.batch * args.gallery * info["embedding_dim"]
+    if info["family"] != "inception_resnet_v2":
+        from fast_image_recognition_tpu.models.inference import fold_backbone
 
-    _, configs = fold_backbone(model, variables)
-    flops = _backbone_flops(configs, folded, res, args.batch) + (
-        2.0 * args.batch * args.gallery * 1280
-    )
+        _, configs = fold_backbone(model, variables)
+        flops += _backbone_flops(configs, folded, res, args.batch)
     variables = folded
     images = jnp.asarray(
         rng.integers(0, 255, (args.batch, res, res, 3)).astype(np.float32)
@@ -143,7 +158,7 @@ def bench_e2e(args) -> None:
     sec = (time.perf_counter() - t0) / args.iters
     ips = args.batch / sec
     _emit(
-        f"images/sec/chip end-to-end (EfficientNet-{args.variant} extract + "
+        f"images/sec/chip end-to-end ({args.variant} extract + "
         f"1-NN match vs {args.gallery} gallery)",
         ips,
         "images/sec/chip",
@@ -228,7 +243,7 @@ def bench_cascade(args) -> None:
         default_taps,
     )
 
-    res = args.resolution
+    res = args.resolution or 224
     model, variables = create_efficientnet(args.variant, 0, resolution=res)
     taps = tuple(default_taps(args.variant))
     probe = model.apply(variables, jnp.zeros((1, res, res, 3)), taps=taps)
@@ -356,7 +371,7 @@ def main() -> None:
     parser.add_argument("--gallery", type=int, default=None)
     parser.add_argument("--batch", type=int, default=None)
     parser.add_argument("--iters", type=int, default=None)
-    parser.add_argument("--resolution", type=int, default=224)
+    parser.add_argument("--resolution", type=int, default=None, help="default: the backbone family's native resolution")
     parser.add_argument("--variant", default="b0")
     parser.add_argument("--quick", action="store_true", help="small shapes for smoke runs")
     args = parser.parse_args()

@@ -228,7 +228,20 @@ def _dem_search_gather(
     pivot_mask = jnp.zeros((n,), jnp.bool_).at[pivot_idx].set(True)
     lik = jnp.where(pivot_mask[None, :], BIG, lik)
 
-    _, order = jax.lax.top_k(-lik, budget)  # [B, budget] ascending likelihood
+    # Candidate selection: exact top-k over [B, N] dominates the query at
+    # production budgets (measured 23-100 ms for k=1000 over 100k rows,
+    # tunnel-state dependent, vs 6-10 ms for the TPU-native approx_min_k).
+    # Use the approximate selector when the budget is a genuine subset and
+    # re-sort the selected set so the sequential probe ORDER stays
+    # likelihood-ranked; the approximation risks dropping ~5% of the true
+    # candidate tail (recall_target=0.95), far inside DEM's own heuristic
+    # slack — and both halves of the trade are measured in checked_fraction.
+    if budget * 4 <= n:
+        sel_lik, sel_idx = jax.lax.approx_min_k(lik, budget)
+        srt = jnp.argsort(sel_lik, axis=1)
+        order = jnp.take_along_axis(sel_idx, srt, axis=1)  # [B, budget]
+    else:
+        _, order = jax.lax.top_k(-lik, budget)  # ascending likelihood
     rows = jnp.take(gallery, order, axis=0).astype(jnp.float32)  # [B, k, D]
     q32 = queries.astype(jnp.float32)
     cross = jnp.einsum("bd,bkd->bk", q32, rows)
