@@ -176,3 +176,51 @@ def train_mesh(n_devices: int = 0, devices=None) -> Mesh:
     else:
         dp, mp = n, 1
     return Mesh(np.asarray(devices).reshape(dp, mp), axis_names=("data", "model"))
+
+
+# ---------------------------------------------------------------------------
+# Sharding-aware checkpoint / resume (orbax)
+# ---------------------------------------------------------------------------
+
+def save_train_state(path: str, state: ShardedTrainState) -> None:
+    """Write the sharded state with orbax (each host writes its shards;
+    single-host here, but the layout is the standard multi-host one). The
+    reference's closest analog is ModelCheckpoint(save_best_only=True)
+    (sequential_inference.py:1217-1219) — this adds the distributed-layout
+    dimension the reference never had."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(
+        os.path.abspath(path),
+        {
+            "params": state.params,
+            "heads": state.heads,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+        },
+        force=True,
+    )
+    ckptr.wait_until_finished()
+
+
+def load_train_state(path: str, template: ShardedTrainState) -> ShardedTrainState:
+    """Restore into the TEMPLATE's shardings (resume on the same mesh
+    layout; orbax reshards on restore when the mesh changed)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(
+        os.path.abspath(path),
+        {
+            "params": template.params,
+            "heads": template.heads,
+            "batch_stats": template.batch_stats,
+            "opt_state": template.opt_state,
+        },
+    )
+    return ShardedTrainState(**restored)

@@ -60,16 +60,13 @@ def build_neighbor_table(
         # k_nn + 1 then drop the self column (distance ~0 ranks first; on
         # ties with duplicates dropping any one duplicate is equivalent).
         _, idx = topk_l2(q, padded, k=k_nn + 1, n_valid=n)
-        idx = np.asarray(idx)
-        rows = np.empty((idx.shape[0], k_nn), np.int32)
-        for r in range(idx.shape[0]):
-            own = s + r
-            row = idx[r]
-            row = row[row != own][:k_nn]
-            if len(row) < k_nn:  # all-duplicate corner: pad with self-free picks
-                row = np.resize(row, k_nn) if len(row) else np.zeros(k_nn, np.int32)
-            rows[r] = row
-        knn_rows.append(rows)
+        idx = np.asarray(idx)  # [m, k_nn+1]
+        m = idx.shape[0]
+        own = (s + np.arange(m))[:, None]
+        # vectorized self-removal: stable-sort each row by is-self, then
+        # take the first k_nn columns (self, if present, sorts last)
+        order = np.argsort(idx == own, axis=1, kind="stable")[:, :k_nn]
+        knn_rows.append(np.take_along_axis(idx, order, axis=1).astype(np.int32))
     knn = np.concatenate(knn_rows, axis=0)
     rng = np.random.default_rng(seed)
     rand = rng.integers(0, n, size=(n, k_rand), dtype=np.int64).astype(np.int32)

@@ -81,3 +81,34 @@ def test_sharded_loss_matches_single_device(setup):
     _, loss1 = step1(state1, im1, lb1, jax.random.PRNGKey(42))
     # bf16 backbone + different reduction orders across layouts: ~1e-3
     np.testing.assert_allclose(float(loss8), float(loss1), rtol=3e-3)
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    """Sharded save/restore (orbax): the restored state carries the same
+    shardings and continues training to identical losses."""
+    from fast_image_recognition_tpu.parallel.train import (
+        load_train_state,
+        save_train_state,
+    )
+
+    model, variables, taps, mesh, state, step = setup
+    rng = np.random.default_rng(5)
+    images, labels = place_batch(
+        mesh,
+        rng.normal(size=(8, RES, RES, 3)).astype(np.float32),
+        rng.integers(0, NUM_CLASSES, 8).astype(np.int32),
+    )
+    state1, _ = step(state, images, labels, jax.random.PRNGKey(7))
+    path = str(tmp_path / "ckpt")
+    save_train_state(path, state1)
+    restored = load_train_state(path, state1)
+    # same shardings on the restored head
+    assert restored.heads[0]["w"].sharding.spec == state1.heads[0]["w"].sharding.spec
+    # same values
+    np.testing.assert_allclose(
+        np.asarray(restored.heads[0]["w"]), np.asarray(state1.heads[0]["w"])
+    )
+    # resume parity: one more step from saved vs in-memory → identical loss
+    _, loss_mem = step(state1, images, labels, jax.random.PRNGKey(8))
+    _, loss_res = step(restored, images, labels, jax.random.PRNGKey(8))
+    np.testing.assert_allclose(float(loss_mem), float(loss_res), rtol=1e-6)
