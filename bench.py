@@ -138,13 +138,18 @@ def bench_e2e(args) -> None:
 
     fn = jax.jit(extract_and_match)
     # extractor convs (analytic, from folded shapes; MBConv families only)
-    # + the match kernel's dominant matmul term (2*B*N*D)
-    flops = 2.0 * args.batch * args.gallery * info["embedding_dim"]
+    # + the match kernel's dominant matmul term (2*B*N*D). For the
+    # inception family the backbone FLOPs aren't counted, so suppress the
+    # tflops/mfu fields rather than report a misleading match-only figure.
     if info["family"] != "inception_resnet_v2":
         from fast_image_recognition_tpu.models.inference import fold_backbone
 
         _, configs = fold_backbone(model, variables)
-        flops += _backbone_flops(configs, folded, res, args.batch)
+        flops = _backbone_flops(configs, folded, res, args.batch) + (
+            2.0 * args.batch * args.gallery * info["embedding_dim"]
+        )
+    else:
+        flops = 0.0
     variables = folded
     images = jnp.asarray(
         rng.integers(0, 255, (args.batch, res, res, 3)).astype(np.float32)
