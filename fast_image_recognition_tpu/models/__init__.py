@@ -68,6 +68,60 @@ def backbone_info(name: str) -> Dict[str, Any]:
             taps=default_taps_inception_resnet(),
             preprocess="tf",  # keras inception_resnet_v2.preprocess_input
         )
+    if name == "inception_v3":
+        from fast_image_recognition_tpu.models.inception_v3 import (
+            INCEPTION_V3_EMBED_DIM,
+            default_taps_inception_v3,
+        )
+
+        return dict(
+            family="inception_v3",
+            resolution=299,
+            embedding_dim=INCEPTION_V3_EMBED_DIM,
+            taps=default_taps_inception_v3(),
+            preprocess="tf",
+        )
+    if name in ("resnet50", "resnet50v2", "resnet101v2", "resnet152v2"):
+        from fast_image_recognition_tpu.models.resnet import (
+            RESNET_EMBED_DIM,
+            default_taps_resnet,
+        )
+
+        return dict(
+            family="resnet",
+            resolution=224,
+            embedding_dim=RESNET_EMBED_DIM,
+            taps=default_taps_resnet(name),
+            # keras resnet_v2.preprocess_input is 'tf' mode; v1 is 'caffe'
+            # (BGR mean) — approximated here by 'torch'-style constants,
+            # documented: v1 is a baseline member, not a gallery producer
+            preprocess="tf" if name.endswith("v2") else "torch",
+        )
+    if name == "vgg19":
+        from fast_image_recognition_tpu.models.vgg import (
+            VGG19_EMBED_DIM,
+            default_taps_vgg,
+        )
+
+        return dict(
+            family="vgg",
+            resolution=224,
+            embedding_dim=VGG19_EMBED_DIM,
+            taps=default_taps_vgg(),
+            preprocess="torch",  # caffe-mode stand-in (documented)
+        )
+    if name == "mobilenetv1":
+        from fast_image_recognition_tpu.models.mobilenet import (
+            default_taps_mobilenet_v1,
+        )
+
+        return dict(
+            family="mobilenetv1",
+            resolution=224,
+            embedding_dim=1024,
+            taps=default_taps_mobilenet_v1(),
+            preprocess="tf",
+        )
     raise ValueError(f"unknown backbone {name!r}")
 
 
@@ -88,6 +142,22 @@ def build_backbone(
         )
 
         return InceptionResNetV2(num_classes=num_classes, dtype=dtype)
+    if name == "inception_v3":
+        from fast_image_recognition_tpu.models.inception_v3 import InceptionV3
+
+        return InceptionV3(num_classes=num_classes, dtype=dtype)
+    if name in ("resnet50", "resnet50v2", "resnet101v2", "resnet152v2"):
+        from fast_image_recognition_tpu.models.resnet import ResNet
+
+        return ResNet(variant=name, num_classes=num_classes, dtype=dtype)
+    if name == "vgg19":
+        from fast_image_recognition_tpu.models.vgg import VGG19
+
+        return VGG19(num_classes=num_classes, dtype=dtype)
+    if name.startswith("mobilenetv1"):
+        from fast_image_recognition_tpu.models.mobilenet import MobileNetV1
+
+        return MobileNetV1(num_classes=num_classes, dtype=dtype)
     raise ValueError(f"unknown backbone {name!r}")
 
 
@@ -118,6 +188,28 @@ def create_backbone(
 
         return create_inception_resnet_v2(
             num_classes, seed, resolution or 299, dtype
+        )
+    if name == "inception_v3":
+        from fast_image_recognition_tpu.models.inception_v3 import (
+            create_inception_v3,
+        )
+
+        return create_inception_v3(num_classes, seed, resolution or 299, dtype)
+    if name in ("resnet50", "resnet50v2", "resnet101v2", "resnet152v2"):
+        from fast_image_recognition_tpu.models.resnet import create_resnet
+
+        return create_resnet(name, num_classes, seed, resolution or 224, dtype)
+    if name == "vgg19":
+        from fast_image_recognition_tpu.models.vgg import create_vgg19
+
+        return create_vgg19(num_classes, seed, resolution or 224, dtype)
+    if name.startswith("mobilenetv1"):
+        from fast_image_recognition_tpu.models.mobilenet import (
+            create_mobilenet_v1,
+        )
+
+        return create_mobilenet_v1(
+            1.0, num_classes, seed, resolution or 224, dtype
         )
     raise ValueError(f"unknown backbone {name!r}")
 

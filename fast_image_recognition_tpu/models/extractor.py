@@ -51,9 +51,10 @@ class FeatureExtractor:
             else (build_backbone(variant, 0), variables)
         )
         self.mesh = mesh
-        # BN-fold serving path covers the MBConv families; the inception
-        # family runs through the plain module apply.
-        if self._info["family"] == "inception_resnet_v2":
+        # The BN-fold serving path covers the MBConv families
+        # (EfficientNet, MobileNetV2); every other family runs through the
+        # plain module apply.
+        if self._info["family"] not in ("efficientnet", "mobilenetv2"):
             folded = False
 
         # family preprocessing: the reference's zoo calls each member's own

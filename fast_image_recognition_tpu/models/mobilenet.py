@@ -211,3 +211,152 @@ def create_mobilenetv2(
     dummy = jnp.zeros((1, resolution, resolution, 3), dtype=jnp.float32)
     variables = model.init({"params": jax.random.PRNGKey(seed)}, dummy, train=False)
     return model, variables
+
+
+# ---------------------------------------------------------------------------
+# MobileNet V1 — the other mobilenet zoo member
+# (dnn_feature_extractor.py:24-26, sequential_inference.py:369-372)
+# ---------------------------------------------------------------------------
+
+# (out channels, stride) per depthwise-separable layer — standard V1 table
+_MBV1_LAYERS = (
+    (64, 1), (128, 2), (128, 1), (256, 2), (256, 1), (512, 2),
+    (512, 1), (512, 1), (512, 1), (512, 1), (512, 1), (1024, 2), (1024, 1),
+)
+
+
+def mobilenet_v1_plan(width: float = 1.0) -> List[Dict[str, Any]]:
+    plan: List[Dict[str, Any]] = []
+    fi = _make_divisible(32 * width)
+    for i, (c, s) in enumerate(_MBV1_LAYERS, start=1):
+        fo = _make_divisible(c * width)
+        plan.append(
+            dict(name=f"conv_dw_{i}", stride=s, in_filters=fi, out_filters=fo,
+                 stage=i)
+        )
+        fi = fo
+    return plan
+
+
+def default_taps_mobilenet_v1(width: float = 1.0) -> List[str]:
+    # structural analog of the reference's mid-network tap: the last
+    # full-resolution separable before each downsampling step's tail
+    return ["conv_dw_5", "conv_dw_11"]
+
+
+class DepthwiseSeparable(nn.Module):
+    """V1 layer: depthwise 3x3 (+BN+relu6) then pointwise 1x1 (+BN+relu6) —
+    unlike MBConv's linear bottleneck, the pointwise output IS activated."""
+
+    out_filters: int
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        act = _activation("relu6")
+        bn = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.99, epsilon=1e-3,
+            dtype=self.dtype, name=name,
+        )
+        c = x.shape[-1]
+        x = nn.Conv(
+            c, (3, 3), strides=self.stride, padding="SAME",
+            feature_group_count=c, use_bias=False, dtype=self.dtype,
+            name="dw_conv",
+        )(x)
+        x = act(bn("dw_bn")(x))
+        x = nn.Conv(
+            self.out_filters, (1, 1), use_bias=False, dtype=self.dtype,
+            name="pw_conv",
+        )(x)
+        return act(bn("pw_bn")(x))
+
+
+class MobileNetV1(nn.Module):
+    """``num_classes=0`` -> pure pooled 1024-d extractor."""
+
+    width: float = 1.0
+    num_classes: int = 0
+    dtype: Any = jnp.bfloat16
+    resolution: int = 224
+
+    def setup(self):
+        self.plan = mobilenet_v1_plan(self.width)
+        self.stem_conv = nn.Conv(
+            _make_divisible(32 * self.width), (3, 3), strides=2,
+            padding="SAME", use_bias=False, dtype=self.dtype, name="stem_conv",
+        )
+        self.stem_bn = nn.BatchNorm(
+            momentum=0.99, epsilon=1e-3, dtype=self.dtype, name="stem_bn"
+        )
+        self.blocks = [
+            DepthwiseSeparable(
+                out_filters=cfg["out_filters"], stride=cfg["stride"],
+                dtype=self.dtype, name=cfg["name"],
+            )
+            for cfg in self.plan
+        ]
+        if self.num_classes > 0:
+            self.classifier = nn.Dense(
+                self.num_classes, dtype=jnp.float32, name="fc"
+            )
+
+    def block_names(self) -> List[str]:
+        return [c["name"] for c in mobilenet_v1_plan(self.width)]
+
+    def plan_configs(self) -> List[Dict[str, Any]]:
+        return mobilenet_v1_plan(self.width)
+
+    def stem(self, x, train: bool = False):
+        act = _activation("relu6")
+        x = self.stem_conv(x.astype(self.dtype))
+        return act(self.stem_bn(x, use_running_average=not train))
+
+    def head_pool(self, x, train: bool = False):
+        return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
+
+    def run_blocks(self, x, start: int, end: int, train: bool = False):
+        for b in self.blocks[start:end]:
+            x = b(x, train)
+        return x
+
+    def __call__(
+        self,
+        x,
+        train: bool = False,
+        taps: Optional[Sequence[str]] = None,
+        include_logits: Optional[bool] = None,
+    ) -> Dict[str, Any]:
+        if include_logits is None:
+            include_logits = self.num_classes > 0
+        tapset = set(taps or ())
+        x = self.stem(x, train=train)
+        tap_out: Dict[str, jax.Array] = {}
+        for cfg, blk in zip(self.plan, self.blocks):
+            x = blk(x, train)
+            if cfg["name"] in tapset:
+                tap_out[cfg["name"]] = jnp.mean(x, axis=(1, 2)).astype(
+                    jnp.float32
+                )
+        emb = self.head_pool(x)
+        out: Dict[str, Any] = {"embedding": emb, "taps": tap_out}
+        if include_logits and self.num_classes > 0:
+            out["logits"] = self.classifier(emb)
+        return out
+
+
+def create_mobilenet_v1(
+    width: float = 1.0,
+    num_classes: int = 0,
+    seed: int = 0,
+    resolution: int = 224,
+    dtype: Any = jnp.bfloat16,
+) -> Tuple[MobileNetV1, Any]:
+    model = MobileNetV1(
+        width=width, num_classes=num_classes, dtype=dtype, resolution=resolution
+    )
+    dummy = jnp.zeros((1, resolution, resolution, 3), dtype=jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(seed)}, dummy,
+                           train=False)
+    return model, variables
