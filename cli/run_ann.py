@@ -27,7 +27,7 @@ def main() -> None:
         "--methods",
         nargs="*",
         default=["dem", "proj", "sw"],
-        choices=["dem", "dem-gather", "proj", "sw", "kdtree"],
+        choices=["dem", "dem-gather", "dem-full", "proj", "sw", "kdtree"],
         help="budgeted methods to sweep "
         "(the reference compares DEM vs FLANN vs NMSLIB, ann.cpp:55-70)",
     )
@@ -67,6 +67,14 @@ def main() -> None:
             DirectedEnumerationMatcher(
                 gallery, glabels, false_accept_rate=args.far, seed=args.seed,
                 probe_mode="gather",
+            )
+        )
+    if "dem-full" in args.methods:
+        from fast_image_recognition_tpu.search.dem import FullMatrixDEM
+
+        methods.append(
+            FullMatrixDEM(
+                gallery, glabels, false_accept_rate=args.far, seed=args.seed
             )
         )
     if "proj" in args.methods:

@@ -93,9 +93,7 @@ def backbone_info(name: str) -> Dict[str, Any]:
             embedding_dim=RESNET_EMBED_DIM,
             taps=default_taps_resnet(name),
             # keras resnet_v2.preprocess_input is 'tf' mode; v1 is 'caffe'
-            # (BGR mean) — approximated here by 'torch'-style constants,
-            # documented: v1 is a baseline member, not a gallery producer
-            preprocess="tf" if name.endswith("v2") else "torch",
+            preprocess="tf" if name.endswith("v2") else "caffe",
         )
     if name == "vgg19":
         from fast_image_recognition_tpu.models.vgg import (
@@ -108,7 +106,7 @@ def backbone_info(name: str) -> Dict[str, Any]:
             resolution=224,
             embedding_dim=VGG19_EMBED_DIM,
             taps=default_taps_vgg(),
-            preprocess="torch",  # caffe-mode stand-in (documented)
+            preprocess="caffe",  # keras vgg19.preprocess_input (BGR mean)
         )
     if name == "mobilenetv1":
         from fast_image_recognition_tpu.models.mobilenet import (

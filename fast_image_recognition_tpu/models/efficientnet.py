@@ -381,3 +381,26 @@ def create_efficientnet(
         {"params": jax.random.PRNGKey(seed)}, dummy, train=False
     )
     return model, variables
+
+
+# Keras "caffe"-mode preprocess_input (RGB->BGR + ImageNet channel means,
+# no std scaling) — the VGG19 / ResNet50-v1 zoo members
+# (dnn_feature_extractor.py:20-23, :41-43).
+CAFFE_MEAN_BGR = (103.939, 116.779, 123.68)
+
+
+def preprocess_images_caffe(
+    images: jax.Array, resolution: Optional[int] = None
+) -> jax.Array:
+    """uint8/float RGB [B, H, W, 3] -> BGR, mean-subtracted (Keras 'caffe'
+    mode). The channel flip is part of the weight-layout contract for
+    Keras-pretrained VGG/ResNet-v1 checkpoints."""
+    x = images.astype(jnp.float32)
+    if resolution is not None and (
+        x.shape[1] != resolution or x.shape[2] != resolution
+    ):
+        x = jax.image.resize(
+            x, (x.shape[0], resolution, resolution, x.shape[3]), method="bilinear"
+        )
+    x = x[..., ::-1]  # RGB -> BGR
+    return x - jnp.asarray(CAFFE_MEAN_BGR, jnp.float32)

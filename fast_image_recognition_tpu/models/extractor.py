@@ -61,7 +61,8 @@ class FeatureExtractor:
         # preprocess_input (dnn_feature_extractor.py:52-56) — torch-style
         # constants for EfficientNet, 'tf' mode (x/127.5 - 1) for the
         # MobileNetV2 / Inception families.
-        if self._info.get("preprocess") == "tf":
+        pp_mode = self._info.get("preprocess", "torch")
+        if pp_mode == "tf":
             from fast_image_recognition_tpu.models.efficientnet import (
                 TF_MODE_MEAN,
                 TF_MODE_STD,
@@ -88,10 +89,17 @@ class FeatureExtractor:
             self._folded = None
 
             def forward(variables, images):
-                kw = {}
-                if pp_mean is not None:
-                    kw = {"mean": pp_mean, "std": pp_std}
-                x = preprocess_images(images, self.resolution, **kw)
+                if pp_mode == "caffe":
+                    from fast_image_recognition_tpu.models.efficientnet import (
+                        preprocess_images_caffe,
+                    )
+
+                    x = preprocess_images_caffe(images, self.resolution)
+                else:
+                    kw = {}
+                    if pp_mean is not None:
+                        kw = {"mean": pp_mean, "std": pp_std}
+                    x = preprocess_images(images, self.resolution, **kw)
                 return self.model.apply(variables, x, train=False)["embedding"]
 
         if mesh is not None:

@@ -84,3 +84,38 @@ def test_extractor_over_new_families():
     feats = ex.extract_normalized(imgs, batch_size=4)
     assert feats.shape == (4, dim)
     np.testing.assert_allclose(np.linalg.norm(feats, axis=1), 1.0, rtol=1e-5)
+
+
+def test_caffe_preprocessing_for_vgg_and_resnet_v1():
+    """VGG19 / ResNet50-v1 use Keras 'caffe' preprocess_input: RGB->BGR +
+    channel means, no std (dnn_feature_extractor.py:20-23, 41-43)."""
+    from fast_image_recognition_tpu.models.efficientnet import (
+        CAFFE_MEAN_BGR,
+        preprocess_images_caffe,
+    )
+    from fast_image_recognition_tpu.models.extractor import FeatureExtractor
+
+    assert backbone_info("vgg19")["preprocess"] == "caffe"
+    assert backbone_info("resnet50")["preprocess"] == "caffe"
+    assert backbone_info("resnet50v2")["preprocess"] == "tf"
+
+    imgs = np.random.default_rng(2).integers(0, 255, (2, 64, 64, 3)).astype(
+        np.uint8
+    )
+    x = np.asarray(preprocess_images_caffe(jnp.asarray(imgs, jnp.float32)))
+    # channel flip + mean subtraction
+    np.testing.assert_allclose(
+        x[..., 0], imgs[..., 2].astype(np.float32) - CAFFE_MEAN_BGR[0]
+    )
+    # extractor wires it through
+    model, variables = create_backbone("vgg19", 0, resolution=64,
+                                       dtype=jnp.float32)
+    ex = FeatureExtractor("vgg19", variables=variables, resolution=64)
+    got = ex.extract(imgs, batch_size=2)
+    want = np.asarray(
+        model.apply(variables, preprocess_images_caffe(
+            jnp.asarray(imgs, jnp.float32)))["embedding"]
+    )
+    # the extractor's internal module computes in bf16; the reference
+    # forward above is fp32 — compare at bf16 precision
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
