@@ -16,7 +16,7 @@ def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("dataset_root", help="directory of <class>/<image> dirs")
     parser.add_argument("output", help="output feature file path")
-    parser.add_argument("--variant", default="b0", help="backbone: b0..b7 | mobilenetv2[_W] | inception_resnet_v2")
+    parser.add_argument("--variant", default="b0", help="backbone: b0..b7 | mobilenetv1 | mobilenetv2[_W] | inception_v3 | inception_resnet_v2 | resnet50[v2] | resnet101v2 | resnet152v2 | vgg19")
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--checkpoint", default=None, help="msgpack flax checkpoint")
     parser.add_argument("--data-parallel", type=int, default=0, help="DP mesh size (0=off)")

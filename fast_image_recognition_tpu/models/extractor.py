@@ -30,8 +30,9 @@ IMAGE_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp")
 
 class FeatureExtractor:
     """Batched pooled-embedding extractor over any zoo backbone
-    ('b0'..'b7', 'mobilenetv2[_W]', 'inception_resnet_v2' — the
-    dnn_feature_extractor.py:19-56 model menu)."""
+    ('b0'..'b7', 'mobilenetv1', 'mobilenetv2[_W]', 'inception_v3',
+    'inception_resnet_v2', 'resnet50[v2]'/'resnet101v2'/'resnet152v2',
+    'vgg19' — the full dnn_feature_extractor.py:19-56 model menu)."""
 
     def __init__(
         self,
