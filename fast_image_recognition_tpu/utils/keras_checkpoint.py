@@ -253,3 +253,113 @@ def inception_resnet_to_keras_names(variables) -> Dict[str, np.ndarray]:
                 stats["conv_7b"]["bn"]["var"]
             )
     return out
+
+
+# ---------------------------------------------------------------------------
+# VGG19 — our conv module names ARE the Keras layer names (block1_conv1 ...)
+# ---------------------------------------------------------------------------
+
+def convert_keras_vgg19(weights: Mapping[str, np.ndarray]) -> Dict[str, dict]:
+    from fast_image_recognition_tpu.models.vgg import vgg_plan
+
+    params: Dict[str, dict] = {}
+    for cfg in vgg_plan():
+        name = cfg["name"]
+        params[name] = {
+            "kernel": np.asarray(weights[f"{name}/kernel"]),
+            "bias": np.asarray(weights[f"{name}/bias"]),
+        }
+    return {"params": params}
+
+
+def vgg19_to_keras_names(variables) -> Dict[str, np.ndarray]:
+    from fast_image_recognition_tpu.models.vgg import vgg_plan
+
+    out: Dict[str, np.ndarray] = {}
+    for cfg in vgg_plan():
+        name = cfg["name"]
+        p = variables["params"][name]
+        out[f"{name}/kernel"] = np.asarray(p["kernel"])
+        out[f"{name}/bias"] = np.asarray(p["bias"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ResNet v1/v2 (keras.applications.resnet layer naming)
+# ---------------------------------------------------------------------------
+
+def _resnet_maps(variant: str):
+    """[(our_module, our_sub, keras_layer, kind)] for the variant."""
+    from fast_image_recognition_tpu.models.resnet import resnet_plan
+
+    v2 = variant.endswith("v2")
+    rows = [("conv1_conv", None, "conv1_conv", "conv_b")]
+    if not v2:
+        rows.append(("conv1_bn", None, "conv1_bn", "bn"))
+    for cfg in resnet_plan(variant):
+        b = cfg["name"]
+        if v2:
+            rows.append((b, "preact_bn", f"{b}_preact_bn", "bn"))
+        if cfg["conv_shortcut"]:
+            rows.append((b, "shortcut_conv", f"{b}_0_conv", "conv_b"))
+            if not v2:
+                rows.append((b, "shortcut_bn", f"{b}_0_bn", "bn"))
+        rows.append((b, "conv1", f"{b}_1_conv", "conv_b" if not v2 else "conv"))
+        rows.append((b, "bn1", f"{b}_1_bn", "bn"))
+        rows.append((b, "conv2", f"{b}_2_conv", "conv_b" if not v2 else "conv"))
+        rows.append((b, "bn2", f"{b}_2_bn", "bn"))
+        rows.append((b, "conv3", f"{b}_3_conv", "conv_b"))
+        if not v2:
+            rows.append((b, "bn3", f"{b}_3_bn", "bn"))
+    if v2:
+        rows.append(("post_bn", None, "post_bn", "bn"))
+    return rows
+
+
+def convert_keras_resnet(
+    weights: Mapping[str, np.ndarray], variant: str
+) -> Dict[str, dict]:
+    params: Dict[str, dict] = {}
+    stats: Dict[str, dict] = {}
+
+    def put(tree, mod, sub, value):
+        if sub is None:
+            tree[mod] = value
+        else:
+            tree.setdefault(mod, {})[sub] = value
+
+    for mod, sub, layer, kind in _resnet_maps(variant):
+        if kind in ("conv", "conv_b"):
+            p = {"kernel": np.asarray(weights[f"{layer}/kernel"])}
+            if kind == "conv_b":
+                p["bias"] = np.asarray(weights[f"{layer}/bias"])
+            put(params, mod, sub, p)
+        else:
+            bnp, bns = _bn_in(weights, layer)
+            put(params, mod, sub, bnp)
+            put(stats, mod, sub, bns)
+    return {"params": params, "batch_stats": stats}
+
+
+def resnet_to_keras_names(variables, variant: str) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    params = variables["params"]
+    stats = variables["batch_stats"]
+
+    def get(tree, mod, sub):
+        return tree[mod] if sub is None else tree[mod][sub]
+
+    for mod, sub, layer, kind in _resnet_maps(variant):
+        if kind in ("conv", "conv_b"):
+            p = get(params, mod, sub)
+            out[f"{layer}/kernel"] = np.asarray(p["kernel"])
+            if kind == "conv_b":
+                out[f"{layer}/bias"] = np.asarray(p["bias"])
+        else:
+            p = get(params, mod, sub)
+            s = get(stats, mod, sub)
+            out[f"{layer}/gamma"] = np.asarray(p["scale"])
+            out[f"{layer}/beta"] = np.asarray(p["bias"])
+            out[f"{layer}/moving_mean"] = np.asarray(s["mean"])
+            out[f"{layer}/moving_variance"] = np.asarray(s["var"])
+    return out

@@ -95,3 +95,54 @@ def test_irv2_layer_census(irv2):
     assert "conv_7b/kernel" in keras and "conv_7b_bn/gamma" in keras
     # every up-projection carries a bias
     assert all(k.replace("/kernel", "/bias") in keras for k in ups)
+
+
+# ---------------------------------------------------------------------------
+# VGG19 / ResNet (added with the zoo completion)
+# ---------------------------------------------------------------------------
+
+def test_vgg19_roundtrip():
+    from fast_image_recognition_tpu.models.vgg import create_vgg19
+    from fast_image_recognition_tpu.utils.keras_checkpoint import (
+        convert_keras_vgg19,
+        vgg19_to_keras_names,
+    )
+
+    model, variables = create_vgg19(0, seed=0, resolution=64,
+                                    dtype=jnp.float32)
+    keras = vgg19_to_keras_names(variables)
+    # our module names ARE the keras layer names
+    assert "block1_conv1/kernel" in keras and "block5_conv4/bias" in keras
+    assert len(keras) == 16 * 2  # 16 convs, kernel+bias each
+    back = convert_keras_vgg19(keras)
+    x = jnp.ones((1, 64, 64, 3))
+    o1 = np.asarray(model.apply(variables, x)["embedding"])
+    o2 = np.asarray(model.apply(back, x)["embedding"])
+    np.testing.assert_allclose(o1, o2, rtol=1e-6)
+
+
+@pytest.mark.parametrize("variant", ["resnet50", "resnet50v2"])
+def test_resnet_roundtrip(variant):
+    from fast_image_recognition_tpu.models.resnet import create_resnet
+    from fast_image_recognition_tpu.utils.keras_checkpoint import (
+        convert_keras_resnet,
+        resnet_to_keras_names,
+    )
+
+    model, variables = create_resnet(variant, 0, seed=0, resolution=64,
+                                     dtype=jnp.float32)
+    keras = resnet_to_keras_names(variables, variant)
+    assert "conv1_conv/kernel" in keras and "conv1_conv/bias" in keras
+    if variant.endswith("v2"):
+        assert "conv2_block1_preact_bn/gamma" in keras
+        assert "post_bn/gamma" in keras
+        assert "conv2_block1_1_conv/bias" not in keras  # v2 inner: no bias
+    else:
+        assert "conv1_bn/gamma" in keras
+        assert "conv2_block1_0_bn/gamma" in keras  # v1 shortcut BN
+        assert "conv2_block1_1_conv/bias" in keras
+    back = convert_keras_resnet(keras, variant)
+    x = jnp.ones((1, 64, 64, 3))
+    o1 = np.asarray(model.apply(variables, x)["embedding"])
+    o2 = np.asarray(model.apply(back, x)["embedding"])
+    np.testing.assert_allclose(o1, o2, rtol=1e-6)
