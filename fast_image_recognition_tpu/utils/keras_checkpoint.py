@@ -363,3 +363,122 @@ def resnet_to_keras_names(variables, variant: str) -> Dict[str, np.ndarray]:
             out[f"{layer}/moving_mean"] = np.asarray(s["mean"])
             out[f"{layer}/moving_variance"] = np.asarray(s["var"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# MobileNetV1 (keras.applications.mobilenet layer naming)
+# ---------------------------------------------------------------------------
+
+def convert_keras_mobilenet_v1(
+    weights: Mapping[str, np.ndarray], width: float = 1.0
+) -> Dict[str, dict]:
+    from fast_image_recognition_tpu.models.mobilenet import mobilenet_v1_plan
+
+    params: Dict[str, dict] = {}
+    stats: Dict[str, dict] = {}
+    params["stem_conv"] = {"kernel": np.asarray(weights["conv1/kernel"])}
+    params["stem_bn"], stats["stem_bn"] = _bn_in(weights, "conv1_bn")
+    for i, cfg in enumerate(mobilenet_v1_plan(width), start=1):
+        dwk = np.asarray(weights[f"conv_dw_{i}/depthwise_kernel"])
+        bp = {"dw_conv": {"kernel": np.transpose(dwk, (0, 1, 3, 2))}}
+        bs: Dict[str, dict] = {}
+        bp["dw_bn"], bs["dw_bn"] = _bn_in(weights, f"conv_dw_{i}_bn")
+        bp["pw_conv"] = {"kernel": np.asarray(weights[f"conv_pw_{i}/kernel"])}
+        bp["pw_bn"], bs["pw_bn"] = _bn_in(weights, f"conv_pw_{i}_bn")
+        params[cfg["name"]] = bp
+        stats[cfg["name"]] = bs
+    return {"params": params, "batch_stats": stats}
+
+
+def mobilenet_v1_to_keras_names(
+    variables, width: float = 1.0
+) -> Dict[str, np.ndarray]:
+    from fast_image_recognition_tpu.models.mobilenet import mobilenet_v1_plan
+
+    out: Dict[str, np.ndarray] = {}
+    params = variables["params"]
+    stats = variables["batch_stats"]
+
+    def put_bn(layer, p, s):
+        out[f"{layer}/gamma"] = np.asarray(p["scale"])
+        out[f"{layer}/beta"] = np.asarray(p["bias"])
+        out[f"{layer}/moving_mean"] = np.asarray(s["mean"])
+        out[f"{layer}/moving_variance"] = np.asarray(s["var"])
+
+    out["conv1/kernel"] = np.asarray(params["stem_conv"]["kernel"])
+    put_bn("conv1_bn", params["stem_bn"], stats["stem_bn"])
+    for i, cfg in enumerate(mobilenet_v1_plan(width), start=1):
+        bp, bs = params[cfg["name"]], stats[cfg["name"]]
+        out[f"conv_dw_{i}/depthwise_kernel"] = np.transpose(
+            np.asarray(bp["dw_conv"]["kernel"]), (0, 1, 3, 2)
+        )
+        put_bn(f"conv_dw_{i}_bn", bp["dw_bn"], bs["dw_bn"])
+        out[f"conv_pw_{i}/kernel"] = np.asarray(bp["pw_conv"]["kernel"])
+        put_bn(f"conv_pw_{i}_bn", bp["pw_bn"], bs["pw_bn"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# InceptionV3 — creation-order counter pairing like InceptionResNetV2
+# (keras.applications.inception_v3 auto-numbers every conv2d/BN)
+# ---------------------------------------------------------------------------
+
+# Our ConvBN submodule names per composite, in the Keras creation order
+# (branch 0, branch 1, branch 2, pool branch — per the keras source).
+_IV3_CONVBN_ORDER = {
+    "stem": ["conv1", "conv2", "conv3", "conv4", "conv5"],
+    "mixed35": ["b0", "b1_0", "b1_1", "b2_0", "b2_1", "b2_2", "bp"],
+    "mixed3": ["b0", "b1_0", "b1_1", "b1_2"],
+    "mixed17": ["b0", "b1_0", "b1_1", "b1_2",
+                "b2_0", "b2_1", "b2_2", "b2_3", "b2_4", "bp"],
+    "mixed8": ["b0_0", "b0_1", "b1_0", "b1_1", "b1_2", "b1_3"],
+    "mixed8x8": ["b0", "b1_0", "b1_1a", "b1_1b",
+                 "b2_0", "b2_1", "b2_2a", "b2_2b", "bp"],
+}
+
+
+def _iv3_walk() -> List[Tuple[str, str]]:
+    from fast_image_recognition_tpu.models.inception_v3 import (
+        inception_v3_plan,
+    )
+
+    seq: List[Tuple[str, str]] = []
+    for sub in _IV3_CONVBN_ORDER["stem"]:
+        seq.append(("stem", sub))
+    for cfg in inception_v3_plan():
+        for sub in _IV3_CONVBN_ORDER[cfg["kind"]]:
+            seq.append((cfg["name"], sub))
+    return seq
+
+
+def convert_keras_inception_v3(
+    weights: Mapping[str, np.ndarray],
+) -> Dict[str, dict]:
+    params: Dict[str, dict] = {}
+    stats: Dict[str, dict] = {}
+    for i, (mod, sub) in enumerate(_iv3_walk()):
+        conv = _keras_counter_name("conv2d", i)
+        bn = _keras_counter_name("batch_normalization", i)
+        p = {"conv": {"kernel": np.asarray(weights[f"{conv}/kernel"])}}
+        bnp, bns = _bn_in(weights, bn)
+        p["bn"] = bnp
+        params.setdefault(mod, {})[sub] = p
+        stats.setdefault(mod, {})[sub] = {"bn": bns}
+    return {"params": params, "batch_stats": stats}
+
+
+def inception_v3_to_keras_names(variables) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    for i, (mod, sub) in enumerate(_iv3_walk()):
+        conv = _keras_counter_name("conv2d", i)
+        bn = _keras_counter_name("batch_normalization", i)
+        p = params[mod][sub]
+        s = stats[mod][sub]
+        out[f"{conv}/kernel"] = np.asarray(p["conv"]["kernel"])
+        out[f"{bn}/gamma"] = np.asarray(p["bn"]["scale"])
+        out[f"{bn}/beta"] = np.asarray(p["bn"]["bias"])
+        out[f"{bn}/moving_mean"] = np.asarray(s["bn"]["mean"])
+        out[f"{bn}/moving_variance"] = np.asarray(s["bn"]["var"])
+    return out

@@ -146,3 +146,45 @@ def test_resnet_roundtrip(variant):
     o1 = np.asarray(model.apply(variables, x)["embedding"])
     o2 = np.asarray(model.apply(back, x)["embedding"])
     np.testing.assert_allclose(o1, o2, rtol=1e-6)
+
+
+def test_mobilenet_v1_roundtrip():
+    from fast_image_recognition_tpu.models.mobilenet import create_mobilenet_v1
+    from fast_image_recognition_tpu.utils.keras_checkpoint import (
+        convert_keras_mobilenet_v1,
+        mobilenet_v1_to_keras_names,
+    )
+
+    model, variables = create_mobilenet_v1(1.0, 0, seed=0, resolution=64,
+                                           dtype=jnp.float32)
+    keras = mobilenet_v1_to_keras_names(variables)
+    assert "conv_dw_13/depthwise_kernel" in keras
+    assert "conv_pw_1/kernel" in keras
+    back = convert_keras_mobilenet_v1(keras)
+    x = jnp.ones((1, 64, 64, 3))
+    o1 = np.asarray(model.apply(variables, x)["embedding"])
+    o2 = np.asarray(model.apply(back, x)["embedding"])
+    np.testing.assert_allclose(o1, o2, rtol=1e-6)
+
+
+def test_inception_v3_roundtrip_and_census():
+    from fast_image_recognition_tpu.models.inception_v3 import (
+        create_inception_v3,
+    )
+    from fast_image_recognition_tpu.utils.keras_checkpoint import (
+        convert_keras_inception_v3,
+        inception_v3_to_keras_names,
+    )
+
+    model, variables = create_inception_v3(0, seed=0, resolution=75,
+                                           dtype=jnp.float32)
+    keras = inception_v3_to_keras_names(variables)
+    convs = [k for k in keras if k.endswith("/kernel")]
+    # keras InceptionV3 has 94 conv/BN pairs: conv2d .. conv2d_93
+    assert len(convs) == 94
+    assert "conv2d_93/kernel" in keras and "conv2d_94/kernel" not in keras
+    back = convert_keras_inception_v3(keras)
+    x = jnp.ones((1, 75, 75, 3))
+    o1 = np.asarray(model.apply(variables, x)["embedding"])
+    o2 = np.asarray(model.apply(back, x)["embedding"])
+    np.testing.assert_allclose(o1, o2, rtol=1e-6)
