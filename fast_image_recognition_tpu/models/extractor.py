@@ -23,8 +23,6 @@ from fast_image_recognition_tpu.models import (
     build_backbone,
     create_backbone,
 )
-from fast_image_recognition_tpu.models.efficientnet import preprocess_images
-
 IMAGE_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp")
 
 
@@ -52,56 +50,20 @@ class FeatureExtractor:
             else (build_backbone(variant, 0), variables)
         )
         self.mesh = mesh
-        # The BN-fold serving path covers the MBConv families
-        # (EfficientNet, MobileNetV2); every other family runs through the
-        # plain module apply.
-        if self._info["family"] not in ("efficientnet", "mobilenetv2"):
-            folded = False
+        # Unified folded serving entry (models/fold.py): MBConv families run
+        # the dedicated functional fold; every other BN family runs the
+        # variables-level fold through model.apply (family-correct
+        # preprocessing — torch/tf/caffe, dnn_feature_extractor.py:52-56 —
+        # is selected/folded there too).
+        from fast_image_recognition_tpu.models.fold import make_serving_fn
 
-        # family preprocessing: the reference's zoo calls each member's own
-        # preprocess_input (dnn_feature_extractor.py:52-56) — torch-style
-        # constants for EfficientNet, 'tf' mode (x/127.5 - 1) for the
-        # MobileNetV2 / Inception families.
-        pp_mode = self._info.get("preprocess", "torch")
-        if pp_mode == "tf":
-            from fast_image_recognition_tpu.models.efficientnet import (
-                TF_MODE_MEAN,
-                TF_MODE_STD,
-            )
+        infer, self._folded = make_serving_fn(
+            self.model, self.variables, self._info,
+            resolution=self.resolution, folded=folded,
+        )
 
-            pp_mean, pp_std = TF_MODE_MEAN, TF_MODE_STD
-        else:
-            pp_mean = pp_std = None  # defaults = MEAN_RGB/STDDEV_RGB
-
-        if folded:
-            # Serving path: BN folded into convs, SE as dense matmuls
-            # (models/inference.py) — same outputs, ~10% faster.
-            from fast_image_recognition_tpu.models.inference import make_infer_fn
-
-            infer, self._folded = make_infer_fn(
-                self.model, self.variables, resolution=self.resolution,
-                mean=pp_mean, std=pp_std,
-            )
-
-            def forward(variables, images):
-                return infer(variables, images)["embedding"]
-
-        else:
-            self._folded = None
-
-            def forward(variables, images):
-                if pp_mode == "caffe":
-                    from fast_image_recognition_tpu.models.efficientnet import (
-                        preprocess_images_caffe,
-                    )
-
-                    x = preprocess_images_caffe(images, self.resolution)
-                else:
-                    kw = {}
-                    if pp_mean is not None:
-                        kw = {"mean": pp_mean, "std": pp_std}
-                    x = preprocess_images(images, self.resolution, **kw)
-                return self.model.apply(variables, x, train=False)["embedding"]
+        def forward(variables, images):
+            return infer(variables, images)["embedding"]
 
         if mesh is not None:
             self._forward = jax.jit(
@@ -133,10 +95,7 @@ class FeatureExtractor:
             if chunk.shape[0] % self._dp:
                 pad = self._dp - chunk.shape[0] % self._dp
                 chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)], axis=0)
-            emb = self._forward(
-                self._folded if self._folded is not None else self.variables,
-                jnp.asarray(chunk),
-            )
+            emb = self._forward(self._folded, jnp.asarray(chunk))
             emb = np.asarray(emb)
             outs.append(emb[: emb.shape[0] - pad] if pad else emb)
         return np.concatenate(outs, axis=0)

@@ -105,8 +105,14 @@ class BottleneckV2(nn.Module):
             self.filters, (1, 1), use_bias=False, dtype=self.dtype, name="conv1"
         )(preact)
         h = nn.relu(bn("bn1")(h))
+        # keras.applications.resnet block2 pads the strided 3x3 with
+        # ZeroPadding2D((1,1),(1,1)) + VALID, i.e. explicit (1,1) pads; XLA
+        # SAME at stride 2 on even inputs pads (0,1) — a one-pixel
+        # receptive-field shift that would break ported v2 checkpoints.
+        # Stride-1 SAME is identical to (1,1) explicit, so always explicit.
         h = nn.Conv(
-            self.filters, (3, 3), strides=self.stride, padding="SAME",
+            self.filters, (3, 3), strides=self.stride,
+            padding=[(1, 1), (1, 1)],
             use_bias=False, dtype=self.dtype, name="conv2",
         )(h)
         h = nn.relu(bn("bn2")(h))

@@ -123,9 +123,16 @@ def _mbconv_kernel(
         x2 = x.reshape(bt * h * wp, cin)
         hid = jnp.dot(x2, w_exp[:], preferred_element_type=jnp.float32)
         hid = act(hid + b_exp[:].astype(jnp.float32))
-        pad_ref[:, pl_h : pl_h + h, :, :] = (
-            hid.reshape(bt, h, wp, ce).astype(pad_ref.dtype)
-        )
+        hid = hid.reshape(bt, h, wp, ce)
+        # The horizontal pad columns of x are zeros, but the expand matmul
+        # maps them to act(b_exp) != 0; the XLA SAME-conv reference pads
+        # AFTER the expand, so its border taps read true zeros. Mask the
+        # columns outside the real image span [pl_w, pl_w + wo) back to 0.
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bt, h, wp, 1), 2)
+        pl_w = cfg["pad_low_w"]
+        real = jnp.logical_and(cols >= pl_w, cols < pl_w + wo)
+        hid = jnp.where(real, hid, 0.0)
+        pad_ref[:, pl_h : pl_h + h, :, :] = hid.astype(pad_ref.dtype)
     else:
         pad_ref[:, pl_h : pl_h + h, :, :] = x.astype(pad_ref.dtype)
 

@@ -170,6 +170,20 @@ def _keras_counter_name(base: str, i: int) -> str:
     return base if i == 0 else f"{base}_{i}"
 
 
+def _detect_counter_start(weights: Mapping[str, np.ndarray], base: str) -> int:
+    """Detect the auto-numbering origin of a Keras weight dict.
+
+    Keras auto-names start at '<base>' under Keras 3 / tf.keras 2.x graph
+    rebuilds but at '<base>_1' in the original Keras-2-era h5 releases of
+    keras-applications (the files dnn_feature_extractor.py:45-48 loads).
+    Probe for the first kernel instead of trusting a 0-based contract."""
+    if f"{base}/kernel" in weights or f"{base}/gamma" in weights:
+        return 0
+    if f"{base}_1/kernel" in weights or f"{base}_1/gamma" in weights:
+        return 1
+    return 0
+
+
 def _ir_block_keras_name(our_name: str) -> str:
     # block35_3 -> block35_3_conv ; block8_10 (the scale-1 linear one) is
     # named 'conv_7b'-adjacent 'block8_10_conv' in keras as well
@@ -183,7 +197,10 @@ def convert_keras_inception_resnet(
     models/inception_resnet.py (extractor form, no classifier)."""
     params: Dict[str, dict] = {}
     stats: Dict[str, dict] = {}
-    ci = bi = 0  # conv2d / batch_normalization creation counters
+    # conv2d / batch_normalization creation counters; origin probed from the
+    # weight dict (Keras-2-era h5 releases start at conv2d_1)
+    ci = _detect_counter_start(weights, "conv2d")
+    bi = _detect_counter_start(weights, "batch_normalization")
 
     def take_convbn():
         nonlocal ci, bi
@@ -456,9 +473,11 @@ def convert_keras_inception_v3(
 ) -> Dict[str, dict]:
     params: Dict[str, dict] = {}
     stats: Dict[str, dict] = {}
+    c0 = _detect_counter_start(weights, "conv2d")
+    b0 = _detect_counter_start(weights, "batch_normalization")
     for i, (mod, sub) in enumerate(_iv3_walk()):
-        conv = _keras_counter_name("conv2d", i)
-        bn = _keras_counter_name("batch_normalization", i)
+        conv = _keras_counter_name("conv2d", i + c0)
+        bn = _keras_counter_name("batch_normalization", i + b0)
         p = {"conv": {"kernel": np.asarray(weights[f"{conv}/kernel"])}}
         bnp, bns = _bn_in(weights, bn)
         p["bn"] = bnp

@@ -45,6 +45,29 @@ def test_fused_block_matches_xla(b0_folded, block_index, hw):
     assert np.abs(got - want).max() / scale < 0.03  # bf16 packing noise
 
 
+@pytest.mark.parametrize("bias_scale", [1.0, 50.0])
+def test_fused_block_border_columns(b0_folded, bias_scale):
+    """The horizontal SAME-pad columns must read true zeros after the
+    expand matmul (the XLA path pads AFTER expand, so act(b_exp) leaking
+    into the border taps is a bug). An inflated expand bias makes any leak
+    dominate the border columns; compare first/last columns explicitly."""
+    _, _, folded, configs = b0_folded
+    block_index = 2  # k3, expand, SE, residual
+    cfg = configs[block_index]
+    p = dict(folded["blocks"][block_index])
+    p["b_exp"] = p["b_exp"] * bias_scale
+    cin = p["w_exp"].shape[2]
+    x = jnp.asarray(
+        np.random.default_rng(7).normal(size=(2, 14, 14, cin)), jnp.bfloat16
+    )
+    want = np.asarray(_block(x, p, cfg), np.float32)
+    got = np.asarray(fused_mbconv(x, p, cfg), np.float32)
+    for col in (0, 1, -2, -1):  # the k=3 halo columns on both edges
+        w, g = want[:, :, col, :], got[:, :, col, :]
+        scale = np.abs(w).max() + 1e-9
+        assert np.abs(g - w).max() / scale < 0.03, f"border col {col} leaks"
+
+
 def test_fused_rejects_stride2(b0_folded):
     _, _, folded, configs = b0_folded
     cfg = configs[1]  # block2a, stride 2
