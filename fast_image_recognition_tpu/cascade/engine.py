@@ -7,23 +7,42 @@ inference runs the backbone *segment by segment*, stopping each image at the
 first exit whose max score clears the threshold (:1368-1394).
 
 TPU design: early exit conflicts with lockstep batching (SURVEY.md §7 hard
-part 3), so the engine uses **batch compaction**: after each segment, probes
-that exited are removed on the host and the surviving subset — padded to a
-small set of static bucket sizes to bound recompilation — continues into the
-next segment. Easy images really do stop paying FLOPs at cheap levels, and
-every segment call stays a statically-shaped jitted computation.
+part 3). Two batched execution strategies are provided:
+
+- ``predict`` — host-decided batch compaction: after each segment only the
+  [n, C] score matrix crosses to the host, which decides who exits;
+  survivors are gathered on-device into the next static bucket shape.
+  Exact sequential semantics, but one host round-trip per level — the
+  round-trips dominate on a tunneled device.
+
+- ``predict_fused`` — ONE jitted program for the whole cascade: each level
+  runs at a static per-level CAPACITY (calibrated from the observed
+  survivor fractions), survivors are compacted on-device (least-confident
+  first) into the next capacity, and exit bookkeeping (predictions, exit
+  level, done mask) is carried in device arrays. Zero host syncs; one
+  transfer per batch. If more images survive a level than its capacity,
+  the overflow — the *most confident* survivors, i.e. those closest to
+  their threshold — is force-exited with the current level's prediction
+  (counted in ``forced_fraction``); capacities carry slack so this is
+  rare. This is the serving path that actually banks the early-exit FLOPs.
+
+Segment engines: ``engine='bind'`` (default) runs segments through the
+stock module (exact parity with ``model.apply``); ``engine='folded'`` runs
+them through the BN-folded functional path of ``models/inference.py``
+(MBConv families) — the same optimization the plain extractor ships, so the
+cascade's savings are measured against the *optimized* baseline.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import math
 import time
-from typing import Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -33,12 +52,17 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 @dataclasses.dataclass
 class PipelineResult:
     predictions: np.ndarray
     exit_level: np.ndarray
     break_counts: np.ndarray
     ms_per_image: float
+    forced_fraction: float = 0.0  # capacity-overflow forced exits (fused)
 
 
 class SequentialInferencePipeline:
@@ -54,6 +78,7 @@ class SequentialInferencePipeline:
         thresholds: Sequence[float],  # per non-final level
         buckets: Sequence[int] = (32, 128, 512),
         l2_normalize: bool = True,
+        engine: str = "bind",  # 'bind' | 'folded' (MBConv families)
     ):
         self.model = model
         self.variables = variables
@@ -71,50 +96,226 @@ class SequentialInferencePipeline:
         self.thresholds = list(thresholds)
         self.buckets = sorted(buckets)
         self.l2_normalize = l2_normalize
+        self.engine = engine
+        if engine == "folded":
+            from fast_image_recognition_tpu.models.inference import (
+                fold_backbone,
+            )
+
+            # no preprocess fold: segment inputs match the bind-path stem
+            self._seg_params, self._configs = fold_backbone(model, variables)
+        else:
+            self._seg_params = variables
+        self.survivor_fractions: Optional[List[float]] = None
         self._seg_fns = {}
+        self._fused_fns = {}
 
-    def _segment_fn(self, level: int, final: bool):
+    # ------------------------------------------------------------------ #
+    # segment functions                                                   #
+    # ------------------------------------------------------------------ #
+
+    def _head(self, emb, level: int):
+        emb = emb.astype(jnp.float32)
+        if self.l2_normalize:
+            emb = emb / jnp.maximum(
+                jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-12
+            )
+        # baked Dense (sequential_inference.py:1350-1366)
+        return emb @ self.coefs[level].T + self.intercepts[level]
+
+    def _segment_impl(self, level: int, final: bool):
+        """Pure fn(params, x) -> (h, scores); not jitted (predict_fused
+        inlines several into one program, predict jits each)."""
         start, end = self.segments[level]
-        coef, intercept = self.coefs[level], self.intercepts[level]
-        model = self.model
-        l2 = self.l2_normalize
 
-        def fn(variables, x):
-            m = model.bind(variables)
+        if self.engine == "folded":
+            from fast_image_recognition_tpu.models.inference import (
+                folded_blocks,
+                folded_head,
+                folded_stem,
+            )
+
+            configs = self._configs
+            act = configs[0].get("activation", "swish") if configs else "swish"
+
+            def fn(params, x):
+                if start == 0:
+                    h = folded_stem(params, x.astype(jnp.bfloat16), activation=act)
+                    h = folded_blocks(params, configs, h, 0, end)
+                else:
+                    h = folded_blocks(params, configs, x, start, end)
+                if final:
+                    emb = folded_head(params, h, activation=act)
+                else:
+                    emb = jnp.mean(h, axis=(1, 2), dtype=jnp.float32)
+                return h, self._head(emb, level)
+
+            return fn
+
+        model = self.model
+
+        def fn(params, x):
+            m = model.bind(params)
             if start == 0:
                 x = m.stem(x.astype(m.dtype))
                 h = m.run_blocks(x, 0, end)
             else:
                 h = m.run_blocks(x, start, end)
-            if final:
-                emb = m.head_pool(h)
-            else:
-                emb = jnp.mean(h, axis=(1, 2)).astype(jnp.float32)
-            if l2:
-                emb = emb / jnp.maximum(
-                    jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-12
-                )
-            scores = emb @ coef.T + intercept  # baked Dense (:1350-1366)
-            return h, scores
+            emb = m.head_pool(h) if final else jnp.mean(
+                h, axis=(1, 2)
+            ).astype(jnp.float32)
+            return h, self._head(emb, level)
 
-        return jax.jit(fn)
+        return fn
 
     def _get_seg(self, level: int):
         final = level == self.num_levels - 1
         if level not in self._seg_fns:
-            self._seg_fns[level] = self._segment_fn(level, final)
+            self._seg_fns[level] = jax.jit(self._segment_impl(level, final))
         return self._seg_fns[level]
 
+    # ------------------------------------------------------------------ #
+    # calibration                                                         #
+    # ------------------------------------------------------------------ #
+
+    def calibrate(self, images, quantile: float = 0.5) -> List[float]:
+        """Set per-level thresholds to the ``quantile`` of the max score
+        over the images still alive at that level (the reference FAR-tunes
+        per level on held-out data, sequential_inference.py:609-631; this
+        is the synthetic-workload analog) and record the survivor
+        fractions that size ``predict_fused``'s capacities."""
+        x = jnp.asarray(np.asarray(images, np.float32))
+        b = x.shape[0]
+        alive = np.ones(b, dtype=bool)
+        thresholds: List[float] = []
+        fractions: List[float] = []
+        carry = x
+        for level in range(self.num_levels - 1):
+            h, sc = self._get_seg(level)(self._seg_params, carry)
+            conf = np.asarray(sc).max(axis=1)
+            t = float(np.quantile(conf[alive], quantile)) if alive.any() else 0.0
+            alive = alive & ~(conf > t)
+            thresholds.append(t)
+            fractions.append(float(alive.mean()))
+            carry = h
+        self.thresholds = thresholds
+        self.survivor_fractions = fractions
+        return thresholds
+
+    def capacities_for(
+        self, batch: int, slack: float = 1.3, multiple: int = 64
+    ) -> Tuple[int, ...]:
+        """Static per-level capacities from the calibrated survivor
+        fractions: cap_l = roundup(batch * frac * slack). Level 0 is the
+        full batch."""
+        assert self.survivor_fractions is not None, "call calibrate() first"
+        caps = [batch]
+        for frac in self.survivor_fractions:
+            c = _round_up(
+                max(1, math.ceil(batch * frac * slack)), min(multiple, batch)
+            )
+            caps.append(min(batch, c))
+        return tuple(caps)
+
+    # ------------------------------------------------------------------ #
+    # fused one-program cascade                                           #
+    # ------------------------------------------------------------------ #
+
+    def _build_fused(self, batch: int, caps: Tuple[int, ...]):
+        impls = [
+            self._segment_impl(l, l == self.num_levels - 1)
+            for l in range(self.num_levels)
+        ]
+        thresholds = [float(t) for t in self.thresholds]
+        num_levels = self.num_levels
+
+        def fused(params, images):
+            preds = jnp.zeros((batch,), jnp.int32)
+            exit_level = jnp.zeros((batch,), jnp.int32)
+            done = jnp.zeros((batch,), jnp.bool_)
+            gidx = jnp.arange(batch, dtype=jnp.int32)
+            carry = images
+            forced = jnp.int32(0)
+            for level in range(num_levels):
+                h, scores = impls[level](params, carry)
+                conf = jnp.max(scores, axis=1)
+                lp = jnp.argmax(scores, axis=1).astype(jnp.int32)
+                live = ~done[gidx]  # padding rows never write
+                fire = live if level == num_levels - 1 else (
+                    (conf > thresholds[level]) & live
+                )
+                # provisional result for every live row; survivors that
+                # continue get overwritten at their true exit level
+                preds = preds.at[gidx].set(
+                    jnp.where(live, lp, preds[gidx]), unique_indices=True
+                )
+                exit_level = exit_level.at[gidx].set(
+                    jnp.where(live, level, exit_level[gidx]),
+                    unique_indices=True,
+                )
+                done = done.at[gidx].set(done[gidx] | fire, unique_indices=True)
+                if level == num_levels - 1:
+                    break
+                surv = live & ~fire
+                c_next = min(caps[level + 1], int(gidx.shape[0]))
+                # device-side compaction: least-confident survivors first;
+                # overflow (closest to threshold) force-exits at this level
+                order = jnp.argsort(jnp.where(surv, conf, jnp.inf))[:c_next]
+                forced = forced + jnp.maximum(
+                    jnp.sum(surv).astype(jnp.int32) - c_next, 0
+                )
+                gidx = gidx[order]
+                carry = jnp.take(h, order, axis=0)
+            return preds, exit_level, forced
+
+        return jax.jit(fused)
+
+    def predict_fused(
+        self,
+        images,
+        capacities: Optional[Sequence[int]] = None,
+        slack: float = 1.3,
+    ) -> PipelineResult:
+        """Whole-cascade single-dispatch inference (zero per-level host
+        syncs). Requires calibrated thresholds + survivor fractions (or
+        explicit ``capacities``, one per level, capacities[0] ignored)."""
+        x = images if isinstance(images, jax.Array) else jnp.asarray(
+            np.asarray(images, np.float32)
+        )
+        b = int(x.shape[0])
+        caps = (
+            tuple(capacities) if capacities is not None
+            else self.capacities_for(b, slack=slack)
+        )
+        key = (b, caps, x.shape[1:])
+        if key not in self._fused_fns:
+            self._fused_fns[key] = self._build_fused(b, caps)
+        t0 = time.perf_counter()
+        preds, exit_level, forced = self._fused_fns[key](self._seg_params, x)
+        preds = np.asarray(preds)  # the one transfer
+        exit_level = np.asarray(exit_level)
+        forced = int(forced)
+        elapsed = time.perf_counter() - t0
+        counts = np.bincount(exit_level, minlength=self.num_levels) / b
+        return PipelineResult(
+            predictions=preds.astype(np.int64),
+            exit_level=exit_level.astype(np.int64),
+            break_counts=counts,
+            ms_per_image=1000.0 * elapsed / b,
+            forced_fraction=forced / b,
+        )
+
+    # ------------------------------------------------------------------ #
+    # host-compaction cascade (exact sequential semantics)                #
+    # ------------------------------------------------------------------ #
+
     def predict(self, images: np.ndarray, warmup: bool = False) -> PipelineResult:
-        """Sequential inference with DEVICE-side batch compaction.
+        """Sequential inference with host-decided batch compaction.
 
         Activations never leave the device: after each segment only the
         small [n, C] score matrix crosses to the host (which decides who
         exits), and survivors are gathered on-device with ``jnp.take``
-        into the next bucket shape. The original host-compaction variant
-        shipped the full [n, H, W, C] carry back and forth per level —
-        tens of MB per transfer, which dominated wall-clock over a
-        host<->device link."""
+        into the next bucket shape."""
         b = images.shape[0]
         preds = np.zeros(b, dtype=np.int64)
         exit_level = np.full(b, self.num_levels - 1, dtype=np.int64)
@@ -137,7 +338,7 @@ class SequentialInferencePipeline:
                 chunk = jnp.concatenate([jnp.asarray(chunk), pad], axis=0)
             carry = jnp.asarray(chunk)  # device-resident from here on
             for level in range(self.num_levels):
-                h, scores = self._get_seg(level)(self.variables, carry)
+                h, scores = self._get_seg(level)(self._seg_params, carry)
                 sc = np.asarray(scores)[: len(gidx)]  # the ONLY transfer
                 level_pred = sc.argmax(axis=1)
                 if level == self.num_levels - 1:
@@ -183,12 +384,12 @@ class SequentialInferencePipeline:
         carry = jnp.asarray(x)
         for level in range(self.num_levels):
             fn = self._get_seg(level)
-            h, scores = fn(self.variables, carry)  # compile + warm
+            h, scores = fn(self._seg_params, carry)  # compile + warm
             _ = np.asarray(scores)
             t0 = time.perf_counter()
             out = None
             for _ in range(iters):
-                out = fn(self.variables, carry)
+                out = fn(self._seg_params, carry)
             _ = np.asarray(out[1])
             per_level.append(
                 1000.0 * (time.perf_counter() - t0) / (iters * images.shape[0])

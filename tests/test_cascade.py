@@ -158,6 +158,85 @@ def test_segment_pipeline_end_to_end():
     np.testing.assert_array_equal(res.predictions, want)
 
 
+def _make_pipe(num_classes=5, n=24, res=32, seed=0, **kw):
+    from fast_image_recognition_tpu.cascade.engine import SequentialInferencePipeline
+    from fast_image_recognition_tpu.models import create_efficientnet, default_taps
+
+    model, variables = create_efficientnet("b0", 0, resolution=res)
+    taps = default_taps("b0")
+    images = np.random.default_rng(seed).normal(size=(n, res, res, 3)).astype(
+        np.float32
+    )
+    out = model.apply(variables, jnp.asarray(images[:1]), taps=taps)
+    dims = [int(out["taps"][t].shape[-1]) for t in taps] + [
+        int(out["embedding"].shape[-1])
+    ]
+    rng = np.random.default_rng(0)
+    coefs = [rng.normal(0, 0.1, (num_classes, d)).astype(np.float32) for d in dims]
+    intercepts = [np.zeros(num_classes, dtype=np.float32) for _ in dims]
+    pipe = SequentialInferencePipeline(
+        model, variables, taps, coefs, intercepts,
+        thresholds=[0.0] * (len(dims) - 1), buckets=(8, 16, 32), **kw,
+    )
+    return pipe, images
+
+
+def test_fused_cascade_matches_host_compaction():
+    """predict_fused with full-batch capacities (no overflow possible) must
+    reproduce predict()'s sequential semantics exactly."""
+    pipe, images = _make_pipe()
+    pipe.calibrate(images, quantile=0.5)
+    want = pipe.predict(images)
+    got = pipe.predict_fused(images, capacities=[len(images)] * pipe.num_levels)
+    np.testing.assert_array_equal(got.predictions, want.predictions)
+    np.testing.assert_array_equal(got.exit_level, want.exit_level)
+    assert got.forced_fraction == 0.0
+    # a real break distribution: some exit early, some reach the end
+    assert want.break_counts[0] > 0 and want.break_counts[0] < 1.0
+
+
+def test_fused_cascade_capacity_overflow_forces_exits():
+    """With capacity 1 past level 0, all but one survivor per level must
+    force-exit with the current level's (provisional) prediction."""
+    pipe, images = _make_pipe()
+    # thresholds so high nobody fires before the final level
+    pipe.thresholds = [1e9] * (pipe.num_levels - 1)
+    got = pipe.predict_fused(
+        images, capacities=[len(images)] + [1] * (pipe.num_levels - 1)
+    )
+    assert got.forced_fraction > 0.5
+    # exactly one image reaches the final level
+    assert (got.exit_level == pipe.num_levels - 1).sum() == 1
+    # forced exits carry the level they stopped at
+    assert (got.exit_level == 0).sum() == len(images) - 1
+
+
+def test_fused_cascade_calibrated_capacities():
+    pipe, images = _make_pipe()
+    pipe.calibrate(images, quantile=0.5)
+    caps = pipe.capacities_for(len(images), slack=1.5, multiple=8)
+    assert caps[0] == len(images)
+    assert all(c2 <= c1 for c1, c2 in zip(caps, caps[1:]))
+    got = pipe.predict_fused(images)
+    assert np.isclose(got.break_counts.sum(), 1.0)
+    assert got.forced_fraction <= 0.5
+
+
+def test_folded_engine_matches_bind_engine():
+    """engine='folded' segments (BN-folded functional path) produce the
+    same exit decisions/predictions as the bind path at matched
+    thresholds (bf16 fold noise can flip near-ties only)."""
+    pipe_b, images = _make_pipe(n=16)
+    pipe_f, _ = _make_pipe(n=16, engine="folded")
+    pipe_b.calibrate(images)
+    pipe_f.thresholds = list(pipe_b.thresholds)
+    rb = pipe_b.predict(images)
+    rf = pipe_f.predict(images)
+    agree = (rb.predictions == rf.predictions).mean()
+    assert agree >= 0.9
+    assert (rb.exit_level == rf.exit_level).mean() >= 0.8
+
+
 def test_segment_pipeline_on_pruned_backbone():
     """The cascade engine must run over a pruned model (SURVEY.md §7 step 7:
     exits over pruned-checkpoint ladders) — hidden_overrides + segments."""
