@@ -55,7 +55,9 @@ def main() -> None:
 
     methods = []
     if "kdtree" in args.methods:
-        methods.append(KDTreeMatcher(gallery))  # exact CPU baseline
+        # FLANN-style kd-forest; set_budget in the sweep below maps to the
+        # SearchParams(checks) cap (ann.cpp:190)
+        methods.append(KDTreeMatcher(gallery, seed=args.seed))
     if "dem" in args.methods:
         methods.append(
             DirectedEnumerationMatcher(

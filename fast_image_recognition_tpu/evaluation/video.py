@@ -107,6 +107,39 @@ def _aggregate(
     return preds
 
 
+def make_video_fusion_fn(
+    gallery: np.ndarray,  # [N, D]
+    gallery_labels: np.ndarray,
+    num_classes: int,
+    num_videos: int,
+    dist_weight: float = 100.0,
+):
+    """Build the jitted per-video fusion step with the gallery device-put
+    ONCE — the serving path dispatches it per frame-batch with no host
+    round-trips or re-uploads (predictions stay on device until the caller
+    fetches).
+
+    Returns ``fn(probes, frame_video) -> [num_videos] device array`` of
+    per-video argmax class ids."""
+    g = jax.device_put(jnp.asarray(gallery, jnp.float32))
+    gl = jax.device_put(jnp.asarray(gallery_labels))
+
+    @jax.jit
+    def fn(probes, frame_video):
+        d = pairwise_distances(probes.astype(jnp.float32), g)
+        b = d.shape[0]
+        cmin = jnp.full((b, num_classes), 1e30)
+        cmin = cmin.at[jnp.arange(b)[:, None], gl[None, :]].min(d)
+        logits = -dist_weight * cmin
+        logp = jax.nn.log_softmax(logits, axis=1)  # [F, C]
+        video_logp = jax.ops.segment_sum(
+            logp, frame_video, num_segments=num_videos
+        )
+        return jnp.argmax(video_logp, axis=1)
+
+    return fn
+
+
 def video_log_posterior_fusion(
     probes: np.ndarray,  # [F, D] sampled frames
     gallery: np.ndarray,  # [N, D]
@@ -118,21 +151,14 @@ def video_log_posterior_fusion(
 ) -> np.ndarray:
     """Fused aggregation: per-frame class log-posteriors (softmax over
     -w*min-class-distance, the exp(-100 d) posterior model of
-    ImageTesting.cpp:119) summed per video in one segment reduction."""
-    d = pairwise_distances(
-        jnp.asarray(probes, jnp.float32), jnp.asarray(gallery, jnp.float32)
+    ImageTesting.cpp:119) summed per video in one segment reduction.
+
+    One-shot convenience wrapper; loops should build
+    ``make_video_fusion_fn`` once and dispatch it."""
+    fn = make_video_fusion_fn(
+        gallery, gallery_labels, num_classes, num_videos, dist_weight
     )
-    b = d.shape[0]
-    cmin = jnp.full((b, num_classes), 1e30)
-    cmin = cmin.at[
-        jnp.arange(b)[:, None], jnp.asarray(gallery_labels)[None, :]
-    ].min(d)
-    logits = -dist_weight * cmin
-    logp = jax.nn.log_softmax(logits, axis=1)  # [F, C]
-    video_logp = jax.ops.segment_sum(
-        logp, jnp.asarray(frame_video), num_segments=num_videos
-    )
-    return np.asarray(jnp.argmax(video_logp, axis=1))
+    return np.asarray(fn(jnp.asarray(probes), jnp.asarray(frame_video)))
 
 
 def evaluate_video_recognition(

@@ -242,10 +242,20 @@ def _dem_search_gather(
         order = jnp.take_along_axis(sel_idx, srt, axis=1)  # [B, budget]
     else:
         _, order = jax.lax.top_k(-lik, budget)  # ascending likelihood
-    rows = jnp.take(gallery, order, axis=0).astype(jnp.float32)  # [B, k, D]
+    # Gathered candidate rows stay in the gallery's storage dtype (bf16) —
+    # upcasting to fp32 here would double the HBM traffic of the gather,
+    # the dominant cost of this path; the contractions accumulate in fp32
+    # on the MXU, so only the (already approximate) per-element distances
+    # carry bf16 rounding — measured in error_pct/checked_fraction.
+    rows = jnp.take(gallery, order, axis=0)  # [B, k, D]
+    qq = queries.astype(rows.dtype)
+    cross = jnp.einsum(
+        "bd,bkd->bk", qq, rows, preferred_element_type=jnp.float32
+    )
+    rsq = jnp.einsum(
+        "bkd,bkd->bk", rows, rows, preferred_element_type=jnp.float32
+    )
     q32 = queries.astype(jnp.float32)
-    cross = jnp.einsum("bd,bkd->bk", q32, rows)
-    rsq = jnp.sum(rows * rows, axis=2)
     d_ordered = (
         jnp.sum(q32 * q32, axis=1, keepdims=True) + rsq - 2.0 * cross
     ) / dim
@@ -340,40 +350,47 @@ class DirectedEnumerationMatcher:
         # candidate loop, ann.cpp:472) — do not clamp up to 1.
         self.budget = int(np.clip(image_count_to_check - n_pivots, 0, n_cand))
 
+    def search_device(self, queries_dev):
+        """Device-in/device-out single-dispatch search (no host sync) — the
+        serving/bench path queues many of these and fetches once (on the
+        tunnel a per-call ``np.asarray`` round-trip would dominate)."""
+        if self.probe_mode == "gather":
+            return _dem_search_gather(
+                queries_dev,
+                self.gallery,
+                self._pivot_feats,
+                self._p_matrix,
+                self._pivot_idx,
+                jnp.float32(self.index.threshold),
+                self.budget,
+            )
+        return _dem_search(
+            queries_dev,
+            self.gallery,
+            self._p_matrix,
+            self._pivot_idx,
+            jnp.float32(self.index.threshold),
+            self.budget,
+            self.kind,
+        )
+
     def search(self, queries: np.ndarray):
         from fast_image_recognition_tpu.search.base import SearchResult
 
         q = jnp.asarray(queries, dtype=jnp.float32)
         if self.probe_mode == "gather":
-            # keep the gathered candidate block under ~1 GB
+            # keep the gathered candidate block under ~1 GB (bf16 rows)
             d = q.shape[1]
-            max_chunk = max(1, int(1e9 // max(self.budget * d * 4, 1)))
-            outs = []
-            for s in range(0, q.shape[0], max_chunk):
-                outs.append(
-                    _dem_search_gather(
-                        q[s : s + max_chunk],
-                        self.gallery,
-                        self._pivot_feats,
-                        self._p_matrix,
-                        self._pivot_idx,
-                        jnp.float32(self.index.threshold),
-                        self.budget,
-                    )
-                )
+            max_chunk = max(1, int(1e9 // max(self.budget * d * 2, 1)))
+            outs = [
+                self.search_device(q[s : s + max_chunk])
+                for s in range(0, q.shape[0], max_chunk)
+            ]
             idx = jnp.concatenate([o[0] for o in outs])
             dist = jnp.concatenate([o[1] for o in outs])
             checked = jnp.concatenate([o[2] for o in outs])
         else:
-            idx, dist, checked = _dem_search(
-                q,
-                self.gallery,
-                self._p_matrix,
-                self._pivot_idx,
-                jnp.float32(self.index.threshold),
-                self.budget,
-                self.kind,
-            )
+            idx, dist, checked = self.search_device(q)
         return SearchResult(
             indices=np.asarray(idx),
             distances=np.asarray(dist),

@@ -104,31 +104,133 @@ class ProjectionIndexMatcher:
         )
 
 
+class _KDNode:
+    __slots__ = ("dim", "val", "left", "right", "leaf")
+
+    def __init__(self, dim=-1, val=0.0, left=None, right=None, leaf=None):
+        self.dim, self.val = dim, val
+        self.left, self.right, self.leaf = left, right, leaf
+
+
+def _build_kd_tree(
+    data: np.ndarray, idx: np.ndarray, rng, leaf_size: int, top_dims: int = 5
+) -> _KDNode:
+    """FLANN-style randomized kd-tree: each split picks a random dimension
+    among the ``top_dims`` highest-variance dims (KDTreeIndexParams
+    randomization) and splits at the mean."""
+    if len(idx) <= leaf_size:
+        return _KDNode(leaf=idx)
+    sub = data[idx]
+    var = sub.var(axis=0)
+    cand = np.argpartition(var, -min(top_dims, len(var)))[-top_dims:]
+    dim = int(rng.choice(cand))
+    val = float(sub[:, dim].mean())
+    mask = sub[:, dim] < val
+    if not mask.any() or mask.all():  # degenerate split: fall back to median
+        order = np.argsort(sub[:, dim])
+        half = len(idx) // 2
+        left_idx, right_idx = idx[order[:half]], idx[order[half:]]
+        val = float(data[order[half] if half < len(order) else order[-1], dim])
+        if len(left_idx) == 0 or len(right_idx) == 0:
+            return _KDNode(leaf=idx)
+    else:
+        left_idx, right_idx = idx[mask], idx[~mask]
+    return _KDNode(
+        dim=dim,
+        val=val,
+        left=_build_kd_tree(data, left_idx, rng, leaf_size, top_dims),
+        right=_build_kd_tree(data, right_idx, rng, leaf_size, top_dims),
+    )
+
+
 class KDTreeMatcher:
-    """Host-side kd-tree baseline — the FLANN role ("flann" printouts,
-    ann.cpp:172-196). Exact unless subsampled; kept as a CPU comparison
-    point exactly as the reference keeps OpenCV's."""
+    """Host-side kd-forest baseline — the FLANN role ("flann" printouts,
+    ann.cpp:172-196): ``KDTreeIndexParams(4)`` randomized trees with the
+    ``SearchParams(checks)`` budget tied to ``imageCountToCheck``
+    (ann.cpp:190). Best-first traversal over a priority queue shared across
+    trees, counting true point-distance evaluations (deduplicated across
+    trees, like FLANN's checked bitmap); the search stops when the budget
+    is spent. ``image_count_to_check<=0`` = unlimited = exact.
 
-    def __init__(self, gallery_features: np.ndarray, leaf_size: int = 40):
-        from sklearn.neighbors import KDTree
+    A host baseline by design (like the reference's FLANN-on-CPU role) —
+    the TPU-native budgeted methods are DEM / proj_incsort / small_world."""
 
+    def __init__(
+        self,
+        gallery_features: np.ndarray,
+        leaf_size: int = 16,
+        num_trees: int = 4,  # KDTreeIndexParams(4), ann.cpp:180
+        image_count_to_check: int = 0,
+        seed: int = 0,
+    ):
         self.name = "flann"
-        self._n = gallery_features.shape[0]
-        self._d = gallery_features.shape[1]
-        self.tree = KDTree(np.asarray(gallery_features, np.float64), leaf_size=leaf_size)
+        self.data = np.asarray(gallery_features, np.float32)
+        self._n, self._d = self.data.shape
+        rng = np.random.default_rng(seed)
+        idx = np.arange(self._n)
+        self.trees = [
+            _build_kd_tree(self.data, idx, rng, leaf_size)
+            for _ in range(num_trees)
+        ]
+        self.set_budget(image_count_to_check)
 
     def set_budget(self, image_count_to_check: int) -> None:
-        pass  # sklearn KDTree has no checks budget; exact baseline
+        if image_count_to_check <= 0 or image_count_to_check > self._n:
+            image_count_to_check = self._n
+        self.checks = int(image_count_to_check)
+
+    def _query_one(self, q: np.ndarray):
+        import heapq
+
+        visited = np.zeros(self._n, dtype=bool)
+        best_d, best_i, checked = np.inf, -1, 0
+        heap = []
+        tie = 0
+        for t in self.trees:
+            heapq.heappush(heap, (0.0, tie, t))
+            tie += 1
+        while heap and checked < self.checks:
+            bound, _, node = heapq.heappop(heap)
+            if bound >= best_d:
+                continue
+            # greedy descent to a leaf, queueing far siblings with bounds
+            while node.leaf is None:
+                diff = q[node.dim] - node.val
+                near, far = (
+                    (node.left, node.right) if diff < 0 else (node.right, node.left)
+                )
+                heapq.heappush(heap, (bound + diff * diff, tie, far))
+                tie += 1
+                node = near
+            fresh = node.leaf[~visited[node.leaf]]
+            if fresh.size == 0:
+                continue
+            if checked + fresh.size > self.checks:
+                fresh = fresh[: self.checks - checked]
+            visited[fresh] = True
+            checked += fresh.size
+            dd = ((self.data[fresh] - q) ** 2).sum(axis=1)
+            j = int(np.argmin(dd))
+            if dd[j] < best_d:
+                best_d, best_i = float(dd[j]), int(fresh[j])
+        return best_i, best_d, checked
 
     def search(self, queries: np.ndarray):
         from fast_image_recognition_tpu.search.base import SearchResult
 
-        dist, idx = self.tree.query(np.asarray(queries, np.float64), k=1)
-        b = queries.shape[0]
-        return SearchResult(
-            indices=idx[:, 0].astype(np.int32),
-            # KDTree returns unnormalized euclidean; convert to the
+        q = np.asarray(queries, np.float32)
+        b = q.shape[0]
+        idx = np.empty(b, np.int32)
+        dist = np.empty(b, np.float32)
+        checked = np.empty(b, np.float32)
+        for i in range(b):
+            bi, bd, c = self._query_one(q[i])
+            idx[i] = bi
             # window-mean squared distance of db_features.cpp:40
-            distances=(dist[:, 0] ** 2 / self._d).astype(np.float32),
-            checked_fraction=np.ones(b, dtype=np.float32),
+            dist[i] = bd / self._d
+            checked[i] = c
+        return SearchResult(
+            indices=idx,
+            distances=dist,
+            checked_fraction=checked / self._n,
         )

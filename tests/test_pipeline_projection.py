@@ -65,6 +65,35 @@ def test_kdtree_matches_bruteforce(sets):
     np.testing.assert_allclose(res.distances, dense.min(1), rtol=1e-5)
 
 
+def test_kdtree_checks_budget_honored(sets):
+    """SearchParams(checks) semantics (ann.cpp:190): the traversal stops
+    at the budget, reports what it actually evaluated, and accuracy
+    degrades gracefully with fewer checks."""
+    g, gl, p, pl = sets
+    n = g.shape[0]
+    m = KDTreeMatcher(g, seed=3)
+    dense = oracle_pairwise(p, g)
+    exact = dense.argmin(1)
+
+    m.set_budget(n // 8)
+    tight = m.search(p)
+    assert (tight.checked_fraction <= (n // 8) / n + 1e-9).all()
+    assert (tight.checked_fraction > 0).all()
+
+    m.set_budget(n // 2)
+    loose = m.search(p)
+    agree_tight = float(np.mean(tight.indices == exact))
+    agree_loose = float(np.mean(loose.indices == exact))
+    assert agree_loose >= agree_tight
+    # well-separated blobs: even the tight budget usually lands right
+    assert agree_tight >= 0.5
+    # distances reported for agreeing rows are the true ones
+    same = loose.indices == exact
+    np.testing.assert_allclose(
+        loose.distances[same], dense.min(1)[same], rtol=1e-4
+    )
+
+
 def test_create_image_lists(tmp_path):
     from PIL import Image
 

@@ -41,7 +41,7 @@ def test_search_matches_bruteforce_at_high_budget(dataset):
     g, gl, p, pl = dataset
     bf = BruteForceMatcher(g)
     want = bf.search(p)
-    m = SmallWorldMatcher(g, seed=0, beam=8)
+    m = SmallWorldMatcher(g, seed=0, beam=12)
     m.set_budget(g.shape[0])  # unlimited: greedy walk until local optimum
     got = m.search(p)
     agree = float(np.mean(got.indices == want.indices))
@@ -81,8 +81,55 @@ def test_budget_bounds_work_and_accuracy_degrades_gracefully(dataset):
 
 def test_label_accuracy_via_matcher(dataset):
     g, gl, p, pl = dataset
-    m = SmallWorldMatcher(g, seed=0, beam=8)
+    m = SmallWorldMatcher(g, seed=0, beam=12)
     m.set_budget(g.shape[0] // 4)
     r = m.search(p)
     acc = float(np.mean(gl[r.indices] == pl))
     assert acc >= 0.9
+
+
+def test_packed_visited_bitmap_at_scale():
+    """The visited state is bit-packed [B, ceil(N/32)] uint32 — at 100k+
+    rows the search must run (a [B, N] bool map would be the old 1 GB/1M-row
+    design) and the budget accounting must hold exactly."""
+    import jax.numpy as jnp
+    from sklearn.neighbors import NearestNeighbors
+
+    from fast_image_recognition_tpu.search.small_world import _sw_search
+
+    n, d, b, beam = 100_000, 16, 64, 8
+    rng = np.random.default_rng(0)
+    g = rng.standard_normal((n, d)).astype(np.float32)
+    # neighbor table from sklearn (the Pallas build is interpret-mode-slow
+    # on the CPU test mesh); k_nn=7 + 4 random long-range edges
+    nn = NearestNeighbors(n_neighbors=8).fit(g)
+    _, knn = nn.kneighbors(g[: n // 10])  # subsample build for test speed
+    # tile the subsampled table: rows >= n//10 get random edges only
+    tbl = rng.integers(0, n, size=(n, 11), dtype=np.int64)
+    tbl[: n // 10, :7] = knn[:, 1:8]
+    gallery = jnp.asarray(g)
+    budget = 2_000
+    qidx = rng.integers(0, n // 10, size=b)
+    entries = np.stack([rng.choice(n, size=beam, replace=False) for _ in range(b)])
+    idx, dist, checked = _sw_search(
+        jnp.asarray(g[qidx]),
+        gallery,
+        jnp.sum(gallery * gallery, axis=1),
+        jnp.asarray(tbl, jnp.int32),
+        jnp.asarray(entries, jnp.int32),
+        beam=beam,
+        budget=budget,
+        max_steps=64,
+    )
+    checked = np.asarray(checked)
+    k = tbl.shape[1]
+    # accounting: never more than budget + one final expansion wave
+    assert (checked <= budget + beam * k).all()
+    assert (checked >= beam).all()
+    # sub-linear: far below the gallery size
+    assert checked.max() < 0.05 * n
+    # the walk finds genuinely near rows: reported best distance beats the
+    # median pairwise distance by a wide margin for most queries
+    ref = np.linalg.norm(g[rng.integers(0, n, 256)] - g[qidx[0]], axis=1)
+    med = float(np.median(ref**2) / d)
+    assert float(np.median(np.asarray(dist))) < 0.5 * med
