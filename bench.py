@@ -1,14 +1,24 @@
 #!/usr/bin/env python
 """Benchmarks for the five BASELINE.json configs, on one chip.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+Prints ONE JSON line per config:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+with accuracy fields alongside throughput — the reference never prints a
+latency without an error rate (qt_cpp/ann.cpp:106-107):
+  error_pct      — top-1 retrieval/recognition error on the synthetic
+                   labeled workload (planted near-matches)
+  agreement_pct  — exact-prediction agreement between the shipped fast
+                   path and the fp32 exact/sequential oracle path
+  checked_pct / break_counts / forced_pct where applicable.
 
 Default config ("e2e", what the driver runs) is the baseline target:
->= 10,000 images/sec/chip end-to-end (EfficientNet-B0 extract + fused 1-NN
+>= 10,000 images/sec/chip end-to-end (EfficientNet-B0 extract + 1-NN
 match) against a 1M-row gallery — the round-trip the reference splits
 across dnn_feature_extractor.py (extract) and qt_cpp/db_features.cpp /
-ann.cpp (match).
+ann.cpp (match). The default match path is PCA-256 candidate generation
+(ops/pca.py — the reference's own loader-side PCA, db_features.cpp:164)
+with full-D bf16 rescoring of the top candidates; --match exact keeps the
+full-D brute-force kernel. Both report agreement vs the fp32 exact path.
 
 Other configs (--config): 'bf' brute-force 1-NN match only; 'dem' the
 directed-enumeration search at a 100k gallery; 'cascade' the sequential
@@ -41,6 +51,7 @@ def _emit(
     baseline: float,
     flops_per_iter: float = 0.0,
     sec_per_iter: float = 0.0,
+    **extra,
 ) -> None:
     rec = {
         "metric": metric,
@@ -52,53 +63,69 @@ def _emit(
         tflops = flops_per_iter / sec_per_iter / 1e12
         rec["tflops"] = round(tflops, 1)
         rec["mfu"] = round(tflops / PEAK_TFLOPS, 3)
+    for k, v in extra.items():
+        if v is not None:
+            rec[k] = round(v, 3) if isinstance(v, float) else v
     print(json.dumps(rec))
 
 
-def _backbone_flops(configs, folded, resolution: int, batch: int) -> float:
-    """Exact conv/matmul FLOPs of one folded-forward dispatch, computed from
-    the folded weight shapes (an XLA cost_analysis would need a second AOT
-    compile, which stalls on the axon tunnel). Elementwise ops are excluded
-    (lower-order terms)."""
+def _normalize(x):
     import numpy as np
 
-    def conv_flops(h, w, kshape, stride, groups=1):
-        kh, kw, cin, cout = kshape
-        ho, wo = -(-h // stride), -(-w // stride)
-        return 2.0 * ho * wo * kh * kw * cin * cout, ho, wo
-
-    total = 0.0
-    h = w = resolution
-    stem_w = folded.get("stem_pp_w", folded["stem_w"])
-    f, h, w = conv_flops(h, w, np.shape(stem_w), 2)
-    total += f
-    for p, cfg in zip(folded["blocks"], configs):
-        if cfg["has_expand"]:
-            f, _, _ = conv_flops(h, w, np.shape(p["w_exp"]), 1)
-            total += f
-        # depthwise kernel is [k, k, 1, Ce] (cin/groups = 1), so the plain
-        # product is already the grouped count
-        f, h, w = conv_flops(h, w, np.shape(p["w_dw"]), cfg["stride"])
-        total += f
-        if cfg["has_se"]:
-            total += 2.0 * (
-                np.prod(np.shape(p["w_se1"])) + np.prod(np.shape(p["w_se2"]))
-            )
-        f, _, _ = conv_flops(h, w, np.shape(p["w_proj"]), 1)
-        total += f
-    f, _, _ = conv_flops(h, w, np.shape(folded["head_w"]), 1)
-    total += f
-    return total * batch
+    return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
 
 
-def _make_gallery(n: int, dim: int, rng, tile: int = 1024):
+def _planted_gallery(n: int, emb: "np.ndarray", rng, noise_frac: float = 0.2):
+    """Random normalized gallery with a perturbed copy of each query
+    embedding planted at a known row — the true 1-NN is well-defined
+    (recognition semantics: the gallery contains the identity) so
+    ``error_pct`` is measurable. The perturbation is scaled PER QUERY to
+    ``noise_frac`` of that query's distance to its nearest other query:
+    untrained-backbone embeddings nearly collapse to one direction, so a
+    fixed noise would swamp the inter-query separation and make the
+    "true" row not actually the nearest — this keeps each planted row the
+    unambiguous NN while still not being a bitwise duplicate."""
+    import numpy as np
+
+    dim = emb.shape[1]
+    gal = _normalize(rng.standard_normal((n, dim)).astype(np.float32))
+    true_idx = rng.choice(n, size=emb.shape[0], replace=False)
+    d2 = (
+        np.sum(emb * emb, 1)[:, None]
+        + np.sum(emb * emb, 1)[None, :]
+        - 2.0 * emb @ emb.T
+    )
+    np.fill_diagonal(d2, np.inf)
+    r = np.sqrt(np.maximum(d2.min(axis=1), 1e-20))  # nearest-other-query
+    planted = _normalize(
+        emb
+        + (noise_frac * r)[:, None]
+        * _normalize(rng.standard_normal(emb.shape).astype(np.float32))
+    )
+    gal[true_idx] = planted
+    return gal, true_idx
+
+
+def _exact_fp32_nn(queries, gal_host, n_valid: int):
+    """fp32 `precise` Pallas path — the accuracy oracle (computed once,
+    outside the timing loop; the fp32 gallery is freed afterwards)."""
+    import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    from fast_image_recognition_tpu.ops.distance_kernel import pad_gallery
+    from fast_image_recognition_tpu.ops.distance_kernel import (
+        pad_gallery,
+        topk_l2,
+    )
 
-    gal = rng.standard_normal((n, dim), dtype=__import__("numpy").float32)
-    gal /= __import__("numpy").linalg.norm(gal, axis=1, keepdims=True)
-    return pad_gallery(jnp.asarray(gal, jnp.bfloat16), tile), gal
+    gal32 = pad_gallery(jnp.asarray(gal_host, jnp.float32))
+    out = []
+    q = jnp.asarray(queries, jnp.float32)
+    for s in range(0, q.shape[0], 256):
+        _, idx = topk_l2(q[s : s + 256], gal32, k=1, n_valid=n_valid, precise=True)
+        out.append(np.asarray(idx)[:, 0])
+    del gal32
+    return np.concatenate(out)
 
 
 def bench_e2e(args) -> None:
@@ -107,69 +134,114 @@ def bench_e2e(args) -> None:
     import numpy as np
 
     from fast_image_recognition_tpu.models import backbone_info, create_backbone
-    from fast_image_recognition_tpu.models.inference import make_infer_fn
-    from fast_image_recognition_tpu.ops.distance_kernel import topk_l2
+    from fast_image_recognition_tpu.models.fold import make_serving_fn
+    from fast_image_recognition_tpu.ops.distance_kernel import (
+        pad_gallery,
+        topk_candidates_l2,
+        topk_l2,
+    )
+    from fast_image_recognition_tpu.ops.pca import fit_pca
+    from fast_image_recognition_tpu.utils.flops import fn_flops
 
     info = backbone_info(args.variant)
     res = args.resolution or int(info["resolution"])
+    dim = int(info["embedding_dim"])
     model, variables = create_backbone(args.variant, 0, resolution=res)
-    if info["family"] == "inception_resnet_v2":
-        # no BN-fold path for the inception family: plain module apply
-        from fast_image_recognition_tpu.models.efficientnet import (
-            TF_MODE_MEAN,
-            TF_MODE_STD,
-            preprocess_images,
-        )
-
-        def infer(variables, images):
-            x = preprocess_images(images, res, TF_MODE_MEAN, TF_MODE_STD)
-            return model.apply(variables, x, train=False)
-
-        folded = variables
-    else:
-        infer, folded = make_infer_fn(model, variables, resolution=res)
+    serve, sparams = make_serving_fn(
+        model, variables, info, resolution=res, folded=True
+    )
     rng = np.random.default_rng(0)
-    gallery, _ = _make_gallery(args.gallery, int(info["embedding_dim"]), rng)
-
-    def extract_and_match(folded, images, gallery):
-        emb = infer(folded, images)["embedding"]
-        emb = emb / jnp.linalg.norm(emb, axis=1, keepdims=True)
-        return topk_l2(emb, gallery, k=1, n_valid=args.gallery)
-
-    fn = jax.jit(extract_and_match)
-    # extractor convs (analytic, from folded shapes; MBConv families only)
-    # + the match kernel's dominant matmul term (2*B*N*D). For the
-    # inception family the backbone FLOPs aren't counted, so suppress the
-    # tflops/mfu fields rather than report a misleading match-only figure.
-    if info["family"] != "inception_resnet_v2":
-        from fast_image_recognition_tpu.models.inference import fold_backbone
-
-        _, configs = fold_backbone(model, variables)
-        flops = _backbone_flops(configs, folded, res, args.batch) + (
-            2.0 * args.batch * args.gallery * info["embedding_dim"]
-        )
-    else:
-        flops = 0.0
-    variables = folded
     images = jnp.asarray(
         rng.integers(0, 255, (args.batch, res, res, 3)).astype(np.float32)
     )
-    out = fn(variables, images, gallery)
-    _ = np.asarray(out[0])
+
+    emb_fn = jax.jit(lambda v, im: serve(v, im)["embedding"])
+    emb0 = _normalize(np.asarray(emb_fn(sparams, images), np.float32))
+    gal_host, true_idx = _planted_gallery(args.gallery, emb0, rng)
+    gallery = pad_gallery(jnp.asarray(gal_host, jnp.bfloat16))
+    n = args.gallery
+
+    if args.match == "pca":
+        # candidate generation in the PCA-256 subspace (db_features.cpp:164
+        # extractPCA role), full-D bf16 rescore of the top-R candidates
+        pca = fit_pca(gal_host[: min(n, 16384)], num_components=args.pca_dim)
+        mu = jnp.asarray(pca.mean, jnp.float32)
+        w = jnp.asarray(pca.components.T, jnp.float32)  # [D, P]
+        # project the (already padded, bf16) gallery on device — one matmul
+        gal_pca = jax.jit(
+            lambda g: ((g.astype(jnp.float32) - mu) @ w).astype(jnp.bfloat16)
+        )(gallery)
+        rescore = int(args.rescore)
+
+        def match(emb, gal_pca, gallery):
+            qp = (emb - mu) @ w
+            # hierarchical candidates: best row of each of the R best
+            # gallery tiles (contains the exact PCA-space NN; cost is
+            # independent of R, unlike topk_l2's k extraction passes)
+            cand = topk_candidates_l2(qp, gal_pca, rescore, n_valid=n)
+            rows = jnp.take(gallery, cand, axis=0)  # [B, R, D] bf16
+            cross = jnp.einsum(
+                "bd,brd->br", emb.astype(rows.dtype), rows,
+                preferred_element_type=jnp.float32,
+            )
+            rsq = jnp.einsum(
+                "brd,brd->br", rows, rows, preferred_element_type=jnp.float32
+            )
+            d = rsq - 2.0 * cross  # + |q|^2, constant per row
+            best = jnp.argmin(d, axis=1)
+            return jnp.take_along_axis(cand, best[:, None], 1)[:, 0]
+
+        match_flops = (
+            2.0 * args.batch * dim * args.pca_dim  # projection
+            + 2.0 * args.batch * n * args.pca_dim  # candidate kernel
+            + 2.0 * args.batch * rescore * dim * 2  # rescore contractions
+        )
+        match_desc = f"pca{args.pca_dim}+rescore{rescore}"
+        extra_args = (gal_pca, gallery)
+    else:
+
+        def match(emb, gallery):
+            _, idx = topk_l2(emb, gallery, k=1, n_valid=n)
+            return idx[:, 0]
+
+        match_flops = 2.0 * args.batch * n * dim
+        match_desc = "exact bf16"
+        extra_args = (gallery,)
+
+    def extract_and_match(sparams, images, *margs):
+        emb = serve(sparams, images)["embedding"].astype(jnp.float32)
+        emb = emb / jnp.maximum(
+            jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-30
+        )
+        return match(emb, *margs)
+
+    fn = jax.jit(extract_and_match)
+    backbone_flops = fn_flops(
+        lambda v, im: serve(v, im)["embedding"], sparams, images
+    )
+    flops = backbone_flops + match_flops
+
+    idx_fast = np.asarray(fn(sparams, images, *extra_args))  # compile + warm
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        out = fn(variables, images, gallery)
-    _ = np.asarray(out[0])
+        out = fn(sparams, images, *extra_args)
+    _ = np.asarray(out)
     sec = (time.perf_counter() - t0) / args.iters
     ips = args.batch / sec
+
+    idx_exact = _exact_fp32_nn(emb0, gal_host, n)
+    error_pct = 100.0 * float(np.mean(idx_fast != true_idx))
+    agreement_pct = 100.0 * float(np.mean(idx_fast == idx_exact))
     _emit(
-        f"images/sec/chip end-to-end ({args.variant} extract + "
-        f"1-NN match vs {args.gallery} gallery)",
+        f"images/sec/chip end-to-end ({args.variant} extract + 1-NN "
+        f"{match_desc} vs {n} gallery)",
         ips,
         "images/sec/chip",
         10_000.0,
         flops_per_iter=flops,
         sec_per_iter=sec,
+        error_pct=error_pct,
+        agreement_pct=agreement_pct,
     )
 
 
@@ -179,23 +251,32 @@ def bench_bf(args) -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from fast_image_recognition_tpu.ops.distance_kernel import topk_l2
+    from fast_image_recognition_tpu.ops.distance_kernel import pad_gallery, topk_l2
 
+    dim = 1536
     rng = np.random.default_rng(0)
-    gallery, gal_host = _make_gallery(args.gallery, 1536, rng)
-    queries = jnp.asarray(gal_host[: args.batch] + 1e-3, jnp.float32)
+    gal_host = _normalize(
+        rng.standard_normal((args.gallery, dim)).astype(np.float32)
+    )
+    q_host = _normalize(
+        gal_host[: args.batch]
+        + 1e-2 * rng.standard_normal((args.batch, dim)).astype(np.float32)
+    )
+    gallery = pad_gallery(jnp.asarray(gal_host, jnp.bfloat16))
+    queries = jnp.asarray(q_host, jnp.float32)
     fn = jax.jit(lambda q, g: topk_l2(q, g, k=1, n_valid=args.gallery))
     out = fn(queries, gallery)
-    _ = np.asarray(out[0])
+    idx_fast = np.asarray(out[1])[:, 0]
     # Pallas kernels are opaque to XLA's cost model; the distance matmul is
     # the dominant term: 2*B*N*D FLOPs (plus norms, a lower-order term).
-    flops = 2.0 * args.batch * args.gallery * 1536
+    flops = 2.0 * args.batch * args.gallery * dim
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = fn(queries, gallery)
     _ = np.asarray(out[0])
     sec = (time.perf_counter() - t0) / args.iters
     qps = args.batch / sec
+    idx_exact = _exact_fp32_nn(q_host, gal_host, args.gallery)
     _emit(
         f"queries/sec/chip (fused brute-force 1-NN, D=1536, "
         f"{args.gallery} gallery)",
@@ -204,39 +285,49 @@ def bench_bf(args) -> None:
         10_000.0,
         flops_per_iter=flops,
         sec_per_iter=sec,
+        error_pct=100.0 * float(np.mean(idx_fast != np.arange(args.batch))),
+        agreement_pct=100.0 * float(np.mean(idx_fast == idx_exact)),
     )
 
 
 def bench_dem(args) -> None:
     """Config 3: DEM at a 100k gallery, budget 1%, gather probe mode."""
+    import jax.numpy as jnp
     import numpy as np
 
     from fast_image_recognition_tpu.data import make_gallery_and_probes
     from fast_image_recognition_tpu.search.dem import DirectedEnumerationMatcher
 
     n_classes = 1000
-    g, gl, p, _ = make_gallery_and_probes(
+    g, gl, p, pl = make_gallery_and_probes(
         n_classes, max(args.gallery // n_classes, 2), 1, 1536, seed=0
     )
     matcher = DirectedEnumerationMatcher(g, gl, probe_mode="gather", seed=0)
     matcher.set_budget(int(0.01 * g.shape[0]))
-    probes = p[: min(args.batch, len(p))]
-    matcher.search(probes)  # compile
+    probes = jnp.asarray(p[: min(args.batch, len(p))], jnp.float32)
+    b = int(probes.shape[0])
+    # accuracy once (includes a host sync), then tunnel-safe queued timing
+    idx, _, checked = (np.asarray(x) for x in matcher.search_device(probes))
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        r = matcher.search(probes)
-    qps = len(probes) * args.iters / (time.perf_counter() - t0)
+        out = matcher.search_device(probes)
+    _ = np.asarray(out[0])
+    qps = b * args.iters / (time.perf_counter() - t0)
     _emit(
-        f"queries/sec/chip (DEM gather, budget 1%, {g.shape[0]} gallery, "
-        f"checked {r.checked_fraction.mean()*100:.2f}%)",
+        f"queries/sec/chip (DEM gather, budget 1%, {g.shape[0]} gallery)",
         qps,
         "queries/sec/chip",
         10_000.0,
+        error_pct=100.0 * float(np.mean(gl[idx] != pl[:b])),
+        checked_pct=100.0 * float(checked.mean()) / g.shape[0],
     )
 
 
 def bench_cascade(args) -> None:
-    """Config 4: sequential early-exit cascade over backbone segments."""
+    """Config 4: sequential early-exit cascade over backbone segments —
+    the fused one-dispatch engine on BN-folded segments, measured against
+    the same plain folded forward it claims to beat."""
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -244,9 +335,11 @@ def bench_cascade(args) -> None:
         SequentialInferencePipeline,
     )
     from fast_image_recognition_tpu.models import (
+        backbone_info,
         create_efficientnet,
         default_taps,
     )
+    from fast_image_recognition_tpu.models.fold import make_serving_fn
 
     res = args.resolution or 224
     model, variables = create_efficientnet(args.variant, 0, resolution=res)
@@ -255,65 +348,80 @@ def bench_cascade(args) -> None:
     dims = [int(probe["taps"][t].shape[-1]) for t in taps] + [
         int(probe["embedding"].shape[-1])
     ]
-    import jax.numpy as jnp
-
     rng = np.random.default_rng(0)
     coefs = [rng.normal(0, 0.1, (100, d)).astype(np.float32) for d in dims]
     intercepts = [np.zeros(100, np.float32) for _ in dims]
-    buckets = sorted({max(1, args.batch // 8), max(1, args.batch // 4),
-                      max(1, args.batch // 2), args.batch})
     pipe = SequentialInferencePipeline(
         model, variables, taps, coefs, intercepts,
-        thresholds=[3.4e38] * (len(dims) - 1), buckets=buckets,
+        thresholds=[0.0] * (len(dims) - 1), engine="folded",
     )
-    # upload once — the serving loop predicts many batches per upload
-    images = jnp.asarray(
-        rng.normal(size=(args.batch, res, res, 3)).astype(np.float32)
-    )
-    # Calibrate each level's threshold to the median surviving max-score so
-    # the measured run exercises a realistic cascading break distribution
-    # (the reference FAR-tunes per level, sequential_inference.py:609-631).
-    probe_scores = []
-    carry = images
-    for lvl in range(pipe.num_levels - 1):
-        h, sc = pipe._get_seg(lvl)(pipe.variables, carry)
-        probe_scores.append(float(np.median(np.asarray(sc).max(axis=1))))
-        carry = h
-    pipe.thresholds = probe_scores
-    pipe.predict(images)  # compile all segments/buckets
+    images = rng.normal(size=(args.batch, res, res, 3)).astype(np.float32)
+    # Calibrate thresholds to the median surviving max-score (the reference
+    # FAR-tunes per level, sequential_inference.py:609-631) — sizes the
+    # fused engine's per-level capacities from the survivor fractions.
+    pipe.calibrate(images[: min(args.batch, 256)])
+    x = jnp.asarray(images)
+    r = pipe.predict_fused(x)  # compile + warm
+    key = next(iter(pipe._fused_fns))
+    fused = pipe._fused_fns[key]
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        r = pipe.predict(images)
+        out = fused(pipe._seg_params, x)
+    _ = np.asarray(out[0])
     ips = args.batch * args.iters / (time.perf_counter() - t0)
+
+    # accuracy vs exact sequential semantics (host-compaction path) and vs
+    # the plain full forward — computed once, not timed
+    exact = pipe.predict(images)
+    agreement = 100.0 * float(np.mean(r.predictions == exact.predictions))
+
+    # the plain folded forward at the same batch — the baseline to beat
+    info = backbone_info(args.variant)
+    serve, sparams = make_serving_fn(
+        model, variables, info, resolution=res, folded=True
+    )
+    plain = jax.jit(lambda v, im: serve(v, im)["embedding"])
+    _ = np.asarray(plain(sparams, x))
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = plain(sparams, x)
+    _ = np.asarray(out)
+    plain_ips = args.batch * args.iters / (time.perf_counter() - t0)
+
     _emit(
-        f"images/sec/chip (early-exit cascade, {len(dims)} levels, "
-        f"breaks={np.round(r.break_counts, 2).tolist()})",
+        f"images/sec/chip (fused early-exit cascade, {len(dims)} levels, "
+        f"breaks={np.round(r.break_counts, 2).tolist()}, plain forward "
+        f"{plain_ips:.0f} img/s)",
         ips,
         "images/sec/chip",
         10_000.0,
+        agreement_pct=agreement,
+        forced_pct=100.0 * r.forced_fraction,
+        speedup_vs_plain=ips / plain_ips,
     )
 
 
 def bench_video(args) -> None:
     """Config 5: video frame-set recognition with per-video fusion."""
+    import jax.numpy as jnp
     import numpy as np
 
-    from fast_image_recognition_tpu.data.video_io import VideoDB
     from fast_image_recognition_tpu.data import make_gallery_and_probes
-    from fast_image_recognition_tpu.evaluation.video import (
-        video_log_posterior_fusion,
-    )
+    from fast_image_recognition_tpu.evaluation.video import make_video_fusion_fn
 
     n_classes = 100
     g, gl, p, pl = make_gallery_and_probes(n_classes, 20, 20, 1536, seed=0)
-    frame_video = pl.copy()
+    frame_video = pl.copy()  # 20 frames per video, one video per class
+    video_label = np.arange(n_classes)
     num_videos = n_classes
-    video_log_posterior_fusion(p, g, gl, frame_video, n_classes, num_videos)
+    fuse = make_video_fusion_fn(g, gl, n_classes, num_videos)
+    probes = jnp.asarray(p, jnp.float32)
+    fv = jnp.asarray(frame_video)
+    preds = np.asarray(fuse(probes, fv))  # compile + warm
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        preds = video_log_posterior_fusion(
-            p, g, gl, frame_video, n_classes, num_videos
-        )
+        out = fuse(probes, fv)
+    _ = np.asarray(out)
     fps = len(p) * args.iters / (time.perf_counter() - t0)
     _emit(
         f"frames/sec/chip (video frame-set recognition + log-posterior "
@@ -321,6 +429,7 @@ def bench_video(args) -> None:
         fps,
         "frames/sec/chip",
         10_000.0,
+        error_pct=100.0 * float(np.mean(preds != video_label)),
     )
 
 
@@ -328,8 +437,8 @@ _DEFAULTS = {
     "e2e": dict(gallery=1_000_000, batch=1024, iters=20),
     "bf": dict(gallery=1_000_000, batch=1024, iters=20),
     "dem": dict(gallery=100_000, batch=128, iters=10),
-    "cascade": dict(gallery=0, batch=256, iters=5),
-    "video": dict(gallery=0, batch=0, iters=5),
+    "cascade": dict(gallery=0, batch=1024, iters=10),
+    "video": dict(gallery=0, batch=0, iters=20),
 }
 
 _RUNNERS = {
@@ -377,7 +486,15 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=None)
     parser.add_argument("--iters", type=int, default=None)
     parser.add_argument("--resolution", type=int, default=None, help="default: the backbone family's native resolution")
-    parser.add_argument("--variant", default="b0")
+    parser.add_argument("--variant", default="b0", help="any zoo backbone (see models/__init__.py)")
+    parser.add_argument(
+        "--match",
+        default="pca",
+        choices=["pca", "exact"],
+        help="e2e match path: pca candidates + full-D rescore, or exact",
+    )
+    parser.add_argument("--pca-dim", type=int, default=256)
+    parser.add_argument("--rescore", type=int, default=64)
     parser.add_argument("--quick", action="store_true", help="small shapes for smoke runs")
     args = parser.parse_args()
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from functools import partial
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -377,8 +378,10 @@ def create_efficientnet(
     model = EfficientNet(variant=variant, num_classes=num_classes, dtype=dtype)
     res = resolution or VARIANTS[variant].resolution
     dummy = jnp.zeros((1, res, res, 3), dtype=jnp.float32)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(seed)}, dummy, train=False
+    # jit the init: ONE compiled program instead of hundreds of tiny
+    # dispatches (minutes over the tunneled device)
+    variables = jax.jit(partial(model.init, train=False))(
+        {"params": jax.random.PRNGKey(seed)}, dummy
     )
     return model, variables
 

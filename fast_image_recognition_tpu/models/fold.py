@@ -94,6 +94,9 @@ def fold_variables(model, variables, eps: Optional[float] = None):
     if "batch_stats" not in variables:
         return variables  # VGG19 and friends: nothing to fold
 
+    # ONE batched device->host fetch; per-leaf np.asarray on device arrays
+    # would be hundreds of serial round-trips over the tunneled device.
+    variables = jax.device_get(variables)
     params = _to_plain(variables["params"])
     stats = _to_plain(variables["batch_stats"])
 

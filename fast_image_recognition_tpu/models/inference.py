@@ -59,6 +59,11 @@ def fold_backbone(
     static structure (strides, kernel sizes, activations, residual flags)
     and must be closed over, not traced.
     """
+    import jax
+
+    # ONE batched device->host fetch; the per-weight fp64 fold below would
+    # otherwise trigger hundreds of serial transfers over the tunnel.
+    variables = jax.device_get(variables)
     params = variables["params"]
     stats = variables["batch_stats"]
     plan = model.plan_configs()

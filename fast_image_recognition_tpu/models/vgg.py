@@ -119,6 +119,9 @@ def create_vgg19(
 ) -> Tuple[VGG19, Any]:
     model = VGG19(num_classes=num_classes, dtype=dtype, resolution=resolution)
     dummy = jnp.zeros((1, resolution, resolution, 3), dtype=jnp.float32)
-    variables = model.init({"params": jax.random.PRNGKey(seed)}, dummy,
-                           train=False)
+    from functools import partial
+
+    variables = jax.jit(partial(model.init, train=False))(
+        {"params": jax.random.PRNGKey(seed)}, dummy
+    )
     return model, variables

@@ -158,6 +158,154 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _tilemin_kernel(
+    # scalar prefetch
+    n_valid_ref,  # [1] int32: true gallery row count
+    # inputs
+    q_ref,  # [B, D]   (whole padded query block, VMEM-resident)
+    g_ref,  # [TG, D]  (streamed gallery tile)
+    # outputs (row j%8 of the revisited 8-row block = this tile's min)
+    out_d_ref,  # [8, B]
+    out_i_ref,  # [8, B]
+    # scratch
+    qsq,  # VMEM [B, 1]
+    *,
+    tile_g: int,
+):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        qf = q_ref[:].astype(jnp.float32)
+        qsq[:] = jnp.sum(qf * qf, axis=1, keepdims=True)
+
+    gf = g_ref[:].astype(jnp.float32)
+    gn = jnp.sum(gf * gf, axis=1, keepdims=True)  # [TG, 1]
+    cross = jax.lax.dot_general(
+        q_ref[:],
+        g_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, TG]
+    tile_d = jnp.maximum(qsq[:] + gn.reshape(1, -1) - 2.0 * cross, 0.0)
+    tile_base = j * tile_g
+    cols = jax.lax.broadcasted_iota(jnp.int32, tile_d.shape, 1) + tile_base
+    tile_d = jnp.where(cols < n_valid_ref[0], tile_d, BIG_DIST)
+    m, a = _masked_argmin(tile_d)
+    # Pallas TPU blocks need >=8 rows: 8 consecutive grid steps revisit one
+    # 8-row output block (flushed to HBM when the block index advances).
+    out_d_ref[j % 8, :] = m
+    out_i_ref[j % 8, :] = tile_base + a
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_g", "interpret")
+)
+def _tilemin_l2_block(
+    queries: jax.Array,  # [Bp, D]
+    gallery: jax.Array,  # [Np, D] (padded to tile_g)
+    n_valid: jax.Array,  # [1] int32
+    tile_g: int,
+    interpret: bool,
+):
+    bp, d = queries.shape
+    np_, _ = gallery.shape
+    n_tiles = np_ // tile_g
+    n_rows = _round_up(n_tiles, 8)
+    kernel = functools.partial(_tilemin_kernel, tile_g=tile_g)
+    out_d, out_i = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((bp, d), lambda j, *_: (0, 0)),
+                pl.BlockSpec((tile_g, d), lambda j, *_: (j, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((8, bp), lambda j, *_: (j // 8, 0)),
+                pl.BlockSpec((8, bp), lambda j, *_: (j // 8, 0)),
+            ],
+            scratch_shapes=[pltpu.VMEM((bp, 1), jnp.float32)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows, bp), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, bp), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * np_ * d,
+            bytes_accessed=int(np_ * d * gallery.dtype.itemsize),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(n_valid, queries, gallery)
+    return out_d[:n_tiles], out_i[:n_tiles]
+
+
+def tile_min_l2(
+    queries: jax.Array,
+    gallery: jax.Array,
+    *,
+    n_valid: Optional[int] = None,
+    tile_g: int = 1024,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-gallery-tile L2 min: (dist [B, n_tiles], index [B, n_tiles]).
+
+    The hierarchical candidate-generation primitive: one cheap argmin per
+    tile instead of ``topk_l2``'s k iterative extraction passes, so cost is
+    independent of how many candidates are taken downstream. The global
+    1-NN is always the min of its own tile, so top-R over the tile mins is
+    an exact-NN-preserving candidate set of R spatially diverse rows."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, d = queries.shape
+    n = n_valid if n_valid is not None else gallery.shape[0]
+    gallery = pad_gallery(gallery, tile_g)
+    if gallery.dtype == jnp.float32:
+        gallery = gallery.astype(jnp.bfloat16)
+    queries = jnp.asarray(queries).astype(gallery.dtype)
+    nv = jnp.asarray([n], dtype=jnp.int32)
+    # lane-dim output rows want a 128 multiple; queries are cheap to pad
+    bp = _round_up(max(b, 128), 128)
+    if bp != b:
+        queries = jnp.pad(queries, ((0, bp - b), (0, 0)))
+    outs_d = []
+    outs_i = []
+    for s in range(0, bp, MAX_QUERY_BLOCK):
+        chunk = queries[s : s + MAX_QUERY_BLOCK]
+        od, oi = _tilemin_l2_block(
+            chunk, gallery, nv, tile_g, interpret
+        )
+        outs_d.append(od.T)
+        outs_i.append(oi.T)
+    out_d = jnp.concatenate(outs_d, axis=0) if len(outs_d) > 1 else outs_d[0]
+    out_i = jnp.concatenate(outs_i, axis=0) if len(outs_i) > 1 else outs_i[0]
+    return out_d[:b] / d, out_i[:b]
+
+
+def topk_candidates_l2(
+    queries: jax.Array,
+    gallery: jax.Array,
+    r: int,
+    *,
+    n_valid: Optional[int] = None,
+    tile_g: int = 1024,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Top-R candidate row indices [B, R] via the tile-min hierarchy:
+    the best row of each of the R best tiles. Contains the exact 1-NN by
+    construction; the other R-1 rows are near-NN candidates from distinct
+    gallery tiles (for rescoring in a higher-fidelity space). O(N*D) MXU
+    work + O(B * N/tile_g) top-k — candidate count R is free."""
+    d, i = tile_min_l2(
+        queries, gallery, n_valid=n_valid, tile_g=tile_g, interpret=interpret
+    )
+    r = min(r, d.shape[1])
+    _, tile_sel = jax.lax.top_k(-d, r)  # [B, R] tile ids
+    return jnp.take_along_axis(i, tile_sel, axis=1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "tile_g", "interpret", "window", "precise"),
@@ -262,6 +410,18 @@ def topk_l2(
             query_block = min(query_block, 512)
     b, d = queries.shape
     n = n_valid if n_valid is not None else gallery.shape[0]
+
+    if precise:
+        # fp32 doubles both the double-buffered gallery tile (2*tile*d*4 B)
+        # and the query block; at D>=1280 the default 1024-row tile blows
+        # the 16 MB scoped-vmem limit. Cap the tile so the double-buffered
+        # fp32 tile stays under ~9 MB (power of two, >=128; a 1024-padded
+        # gallery is still a multiple of every smaller power of two).
+        cap = max(128, int(9e6) // (8 * d))
+        t = 128
+        while t * 2 <= min(cap, tile_g):
+            t *= 2
+        tile_g = t
 
     gallery = pad_gallery(gallery, tile_g)
     if not precise and gallery.dtype == jnp.float32:

@@ -78,3 +78,54 @@ def test_bf16_gallery_top1_parity(sets):
     dense = oracle_pairwise(q, g)
     agree = (np.asarray(i)[:, 0] == dense.argmin(1)).mean()
     assert agree >= 0.9  # bf16 quantization may flip rare near-ties
+
+
+def test_tile_min_parity(sets):
+    from fast_image_recognition_tpu.ops.distance_kernel import tile_min_l2
+
+    q, g = sets
+    tile = 64
+    d, i = tile_min_l2(q, g, tile_g=tile)
+    d, i = np.asarray(d), np.asarray(i)
+    dense = oracle_pairwise(q, g)
+    n = g.shape[0]
+    n_tiles = -(-max(n, tile) // tile)
+    assert d.shape == (q.shape[0], n_tiles)
+    for j in range(n_tiles):
+        blk = dense[:, j * tile : min((j + 1) * tile, n)]
+        if blk.shape[1] == 0:
+            assert (d[:, j] > 1e30).all()
+            continue
+        np.testing.assert_array_equal(i[:, j], j * tile + blk.argmin(1))
+        np.testing.assert_allclose(d[:, j], blk.min(1), rtol=2e-2, atol=1e-6)
+
+
+def test_topk_candidates_contain_exact_nn(sets):
+    from fast_image_recognition_tpu.ops.distance_kernel import (
+        topk_candidates_l2,
+    )
+
+    q, g = sets
+    cand = np.asarray(topk_candidates_l2(q, g, 4, tile_g=64))
+    assert cand.shape == (q.shape[0], 4)
+    nn = oracle_pairwise(q, g).argmin(1)
+    assert all(nn[b] in cand[b] for b in range(q.shape[0]))
+    # candidate rows come from distinct tiles
+    assert all(len(set(cand[b] // 64)) == 4 for b in range(q.shape[0]))
+
+
+def test_tile_min_ragged_n():
+    from fast_image_recognition_tpu.ops.distance_kernel import (
+        tile_min_l2,
+        topk_candidates_l2,
+    )
+
+    gallery, _ = make_synthetic_gallery(7, 13, 96, seed=3)  # 91 rows
+    probes, _ = make_synthetic_gallery(3, 1, 96, seed=4)
+    d, i = tile_min_l2(probes, gallery, tile_g=32)
+    dense = oracle_pairwise(probes, gallery)
+    # last tile is ragged (91 = 2*32 + 27): pad rows must be masked
+    blk = dense[:, 64:91]
+    np.testing.assert_array_equal(np.asarray(i)[:, 2], 64 + blk.argmin(1))
+    cand = np.asarray(topk_candidates_l2(probes, gallery, 2, tile_g=32))
+    assert (cand < 91).all()
