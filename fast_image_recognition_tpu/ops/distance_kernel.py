@@ -159,75 +159,79 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _tilemin_kernel(
-    # scalar prefetch
-    n_valid_ref,  # [1] int32: true gallery row count
     # inputs
-    q_ref,  # [B, D]   (whole padded query block, VMEM-resident)
-    g_ref,  # [TG, D]  (streamed gallery tile)
+    q_ref,  # [B, D]    (whole padded query block, VMEM-resident)
+    g_ref,  # [TG, D]   (streamed gallery tile)
+    gsq_ref,  # [8, TG] row j%8 = |g|^2 of this tile (BIG on padded rows)
     # outputs (row j%8 of the revisited 8-row block = this tile's min)
     out_d_ref,  # [8, B]
     out_i_ref,  # [8, B]
-    # scratch
-    qsq,  # VMEM [B, 1]
     *,
     tile_g: int,
+    score_t,
 ):
+    """Minimal VPU epilogue: the gallery squared-norms arrive precomputed
+    (one pass on the wrapper side, amortized across calls when the caller
+    passes them), padded rows carry BIG so no iota/n_valid masking is
+    needed, and the per-query |q|^2 term — constant along the gallery
+    axis, hence irrelevant to every argmin — is added back OUTSIDE the
+    kernel on the tiny [B, n_tiles] output. Per tile: one MXU dot, one
+    fused subtract, one min+argmin.
+
+    ``score_t=bfloat16`` (wrapper ``precise_scores=False``) runs the
+    subtract/min/argmin passes — the measured cost ceiling of this kernel,
+    ~2x the bare dot — at half width; the MXU accumulator and the kernel
+    boundary (gsq in, min out) stay fp32 (bf16 refs with 8-sublane blocks
+    would violate Mosaic's (16, 128) bf16 tiling). bf16 rounding can flip
+    the within-tile argmin between rows whose distances agree to ~0.4%;
+    downstream rescoring absorbs that."""
     j = pl.program_id(0)
-
-    @pl.when(j == 0)
-    def _init():
-        qf = q_ref[:].astype(jnp.float32)
-        qsq[:] = jnp.sum(qf * qf, axis=1, keepdims=True)
-
-    gf = g_ref[:].astype(jnp.float32)
-    gn = jnp.sum(gf * gf, axis=1, keepdims=True)  # [TG, 1]
     cross = jax.lax.dot_general(
         q_ref[:],
         g_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [B, TG]
-    tile_d = jnp.maximum(qsq[:] + gn.reshape(1, -1) - 2.0 * cross, 0.0)
-    tile_base = j * tile_g
-    cols = jax.lax.broadcasted_iota(jnp.int32, tile_d.shape, 1) + tile_base
-    tile_d = jnp.where(cols < n_valid_ref[0], tile_d, BIG_DIST)
+    tile_d = (
+        gsq_ref[j % 8, :][None, :].astype(score_t)
+        - jnp.asarray(2.0, score_t) * cross.astype(score_t)
+    )
     m, a = _masked_argmin(tile_d)
     # Pallas TPU blocks need >=8 rows: 8 consecutive grid steps revisit one
     # 8-row output block (flushed to HBM when the block index advances).
-    out_d_ref[j % 8, :] = m
-    out_i_ref[j % 8, :] = tile_base + a
+    out_d_ref[j % 8, :] = m.astype(jnp.float32)
+    out_i_ref[j % 8, :] = j * tile_g + a
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_g", "interpret")
+    jax.jit, static_argnames=("tile_g", "interpret", "precise_scores")
 )
 def _tilemin_l2_block(
     queries: jax.Array,  # [Bp, D]
     gallery: jax.Array,  # [Np, D] (padded to tile_g)
-    n_valid: jax.Array,  # [1] int32
+    gsq_rows: jax.Array,  # [n_rows8, TG] fp32 (BIG on padded gallery rows)
     tile_g: int,
     interpret: bool,
+    precise_scores: bool,
 ):
     bp, d = queries.shape
     np_, _ = gallery.shape
     n_tiles = np_ // tile_g
     n_rows = _round_up(n_tiles, 8)
-    kernel = functools.partial(_tilemin_kernel, tile_g=tile_g)
+    score_t = jnp.float32 if precise_scores else jnp.bfloat16
+    kernel = functools.partial(_tilemin_kernel, tile_g=tile_g, score_t=score_t)
     out_d, out_i = pl.pallas_call(
         kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(n_tiles,),
-            in_specs=[
-                pl.BlockSpec((bp, d), lambda j, *_: (0, 0)),
-                pl.BlockSpec((tile_g, d), lambda j, *_: (j, 0)),
-            ],
-            out_specs=[
-                pl.BlockSpec((8, bp), lambda j, *_: (j // 8, 0)),
-                pl.BlockSpec((8, bp), lambda j, *_: (j // 8, 0)),
-            ],
-            scratch_shapes=[pltpu.VMEM((bp, 1), jnp.float32)],
-        ),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((bp, d), lambda j: (0, 0)),
+            pl.BlockSpec((tile_g, d), lambda j: (j, 0)),
+            pl.BlockSpec((8, tile_g), lambda j: (j // 8, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, bp), lambda j: (j // 8, 0)),
+            pl.BlockSpec((8, bp), lambda j: (j // 8, 0)),
+        ],
         out_shape=[
             jax.ShapeDtypeStruct((n_rows, bp), jnp.float32),
             jax.ShapeDtypeStruct((n_rows, bp), jnp.int32),
@@ -238,8 +242,31 @@ def _tilemin_l2_block(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(n_valid, queries, gallery)
+    )(queries, gallery, gsq_rows)
     return out_d[:n_tiles], out_i[:n_tiles]
+
+
+def gallery_sq_norms(
+    gallery: jax.Array, n_valid: int, tile_g: int = 1024
+) -> jax.Array:
+    """Precompute |g|^2 for ``tile_min_l2`` in its kernel layout:
+    [roundup(n_tiles, 8), tile_g] fp32 with BIG on rows >= n_valid (pad
+    rows need no separate masking in the kernel). Compute once per gallery
+    and pass via ``gsq=`` to amortize the extra full-gallery pass."""
+    gallery = pad_gallery(gallery, tile_g)
+    np_ = gallery.shape[0]
+    n_tiles = np_ // tile_g
+    n_rows = _round_up(n_tiles, 8)
+    gsq = jnp.einsum(
+        "nd,nd->n", gallery, gallery, preferred_element_type=jnp.float32
+    )
+    gsq = jnp.where(jnp.arange(np_) < n_valid, gsq, BIG_DIST)
+    gsq = gsq.reshape(n_tiles, tile_g)
+    if n_rows != n_tiles:
+        gsq = jnp.pad(
+            gsq, ((0, n_rows - n_tiles), (0, 0)), constant_values=BIG_DIST
+        )
+    return gsq
 
 
 def tile_min_l2(
@@ -249,6 +276,8 @@ def tile_min_l2(
     n_valid: Optional[int] = None,
     tile_g: int = 1024,
     interpret: Optional[bool] = None,
+    gsq: Optional[jax.Array] = None,
+    precise_scores: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Per-gallery-tile L2 min: (dist [B, n_tiles], index [B, n_tiles]).
 
@@ -256,7 +285,15 @@ def tile_min_l2(
     tile instead of ``topk_l2``'s k iterative extraction passes, so cost is
     independent of how many candidates are taken downstream. The global
     1-NN is always the min of its own tile, so top-R over the tile mins is
-    an exact-NN-preserving candidate set of R spatially diverse rows."""
+    an exact-NN-preserving candidate set of R spatially diverse rows.
+
+    ``gsq``: precomputed ``gallery_sq_norms(...)`` — pass it when the same
+    gallery serves many calls to skip the norm pass.
+
+    ``precise_scores=False`` runs the kernel's reduction passes in bf16
+    (~25% faster at D=256): the exact-NN-containment guarantee then only
+    holds up to bf16 near-ties (~0.4%), which downstream full-precision
+    rescoring absorbs."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     b, d = queries.shape
@@ -264,8 +301,13 @@ def tile_min_l2(
     gallery = pad_gallery(gallery, tile_g)
     if gallery.dtype == jnp.float32:
         gallery = gallery.astype(jnp.bfloat16)
-    queries = jnp.asarray(queries).astype(gallery.dtype)
-    nv = jnp.asarray([n], dtype=jnp.int32)
+    if gsq is None:
+        gsq = gallery_sq_norms(gallery, n, tile_g)
+    queries = jnp.asarray(queries)
+    qsq = jnp.einsum(
+        "bd,bd->b", queries, queries, preferred_element_type=jnp.float32
+    )
+    queries = queries.astype(gallery.dtype)
     # lane-dim output rows want a 128 multiple; queries are cheap to pad
     bp = _round_up(max(b, 128), 128)
     if bp != b:
@@ -275,13 +317,16 @@ def tile_min_l2(
     for s in range(0, bp, MAX_QUERY_BLOCK):
         chunk = queries[s : s + MAX_QUERY_BLOCK]
         od, oi = _tilemin_l2_block(
-            chunk, gallery, nv, tile_g, interpret
+            chunk, gallery, gsq, tile_g, interpret, precise_scores
         )
         outs_d.append(od.T)
         outs_i.append(oi.T)
     out_d = jnp.concatenate(outs_d, axis=0) if len(outs_d) > 1 else outs_d[0]
     out_i = jnp.concatenate(outs_i, axis=0) if len(outs_i) > 1 else outs_i[0]
-    return out_d[:b] / d, out_i[:b]
+    # |q|^2 is constant along the gallery axis (argmin-neutral): applied
+    # here on the [B, n_tiles] output instead of [B, N] inside the kernel.
+    out_d = jnp.maximum(out_d[:b] + qsq[:b, None], 0.0)
+    return out_d / d, out_i[:b]
 
 
 def topk_candidates_l2(
@@ -292,14 +337,23 @@ def topk_candidates_l2(
     n_valid: Optional[int] = None,
     tile_g: int = 1024,
     interpret: Optional[bool] = None,
+    gsq: Optional[jax.Array] = None,
+    precise_scores: bool = True,
 ) -> jax.Array:
     """Top-R candidate row indices [B, R] via the tile-min hierarchy:
     the best row of each of the R best tiles. Contains the exact 1-NN by
-    construction; the other R-1 rows are near-NN candidates from distinct
-    gallery tiles (for rescoring in a higher-fidelity space). O(N*D) MXU
-    work + O(B * N/tile_g) top-k — candidate count R is free."""
+    construction (up to bf16 near-ties when ``precise_scores=False``); the
+    other R-1 rows are near-NN candidates from distinct gallery tiles (for
+    rescoring in a higher-fidelity space). O(N*D) MXU work +
+    O(B * N/tile_g) top-k — candidate count R is free."""
     d, i = tile_min_l2(
-        queries, gallery, n_valid=n_valid, tile_g=tile_g, interpret=interpret
+        queries,
+        gallery,
+        n_valid=n_valid,
+        tile_g=tile_g,
+        interpret=interpret,
+        gsq=gsq,
+        precise_scores=precise_scores,
     )
     r = min(r, d.shape[1])
     _, tile_sel = jax.lax.top_k(-d, r)  # [B, R] tile ids

@@ -122,6 +122,8 @@ def main() -> None:
                 }
                 lines.append(rec)
                 print(json.dumps(rec), flush=True)
+                with open(args.out, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
 
             if sw is not None:
                 for frac in [float(x) for x in args.budgets.split(",")]:
@@ -149,10 +151,8 @@ def main() -> None:
                     }
                     lines.append(rec)
                     print(json.dumps(rec), flush=True)
-
-    with open(args.out, "a") as f:
-        for rec in lines:
-            f.write(json.dumps(rec) + "\n")
+                    with open(args.out, "a") as f:
+                        f.write(json.dumps(rec) + "\n")
 
 
 if __name__ == "__main__":
