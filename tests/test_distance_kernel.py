@@ -129,3 +129,34 @@ def test_tile_min_ragged_n():
     np.testing.assert_array_equal(np.asarray(i)[:, 2], 64 + blk.argmin(1))
     cand = np.asarray(topk_candidates_l2(probes, gallery, 2, tile_g=32))
     assert (cand < 91).all()
+
+
+def test_tile_min_precomputed_gsq_and_bf16_scores(sets):
+    """gsq= precompute must match the inline path exactly; bf16 scores
+    agree up to near-ties (the rescore contract)."""
+    import jax
+
+    from fast_image_recognition_tpu.ops.distance_kernel import (
+        gallery_sq_norms,
+        tile_min_l2,
+    )
+
+    q, g = sets
+    gsq = gallery_sq_norms(jnp.asarray(g, jnp.bfloat16), g.shape[0], tile_g=64)
+    d_inline, i_inline = tile_min_l2(q, g, tile_g=64)
+    d_pre, i_pre = tile_min_l2(q, g, tile_g=64, gsq=gsq)
+    np.testing.assert_array_equal(np.asarray(i_inline), np.asarray(i_pre))
+    np.testing.assert_allclose(np.asarray(d_inline), np.asarray(d_pre))
+
+    d16, i16 = tile_min_l2(q, g, tile_g=64, precise_scores=False)
+    # indices may flip only between bf16 near-ties; distances stay close
+    n_tiles = np.asarray(d_inline).shape[1]
+    dense = oracle_pairwise(q, g)
+    for b in range(q.shape[0]):
+        for t in range(n_tiles):
+            blk = dense[b, t * 64 : min((t + 1) * 64, g.shape[0])]
+            if blk.size == 0:
+                continue
+            # the chosen row's true distance is within bf16 slack of the min
+            chosen = dense[b, np.asarray(i16)[b, t]]
+            assert chosen <= blk.min() * 1.02 + 1e-5
