@@ -128,6 +128,13 @@ def _topk_kernel(
     g = masked(g_ref[:])
     gf = g.astype(jnp.float32)
     gn = jnp.sum(gf * gf, axis=1, keepdims=True)  # [TG, 1]
+    if precise:
+        # fp32 MXU passes regardless of the storage dtype: a bf16-stored
+        # gallery is upcast per-tile in VMEM (exact), which keeps the HBM
+        # stream at bf16 width — Mosaic rejects bf16 operands at HIGHEST
+        # precision, and 'precise' means fp32 contraction of stored values.
+        q = q.astype(jnp.float32)
+        g = gf
     cross = jax.lax.dot_general(
         q,
         g,
@@ -463,6 +470,14 @@ def topk_l2(
         elif k > 4:
             query_block = min(query_block, 512)
     b, d = queries.shape
+    if k > 4:
+        # Larger k needs a smaller gallery tile too: the halved query block
+        # alone still blew scoped VMEM at wide D (measured on v5e: B=512,
+        # TG=1024, D=1536, k=12 bf16 -> 16.46M vs the 16M limit). Halving
+        # the tile halves both the double-buffered gallery DMA and the ~k
+        # live [B, TG] merge temporaries; 512-row tiles still divide every
+        # `pad_gallery`-padded (1024-multiple) gallery.
+        tile_g = min(tile_g, 512)
     n = n_valid if n_valid is not None else gallery.shape[0]
 
     if precise:
@@ -480,7 +495,11 @@ def topk_l2(
     gallery = pad_gallery(gallery, tile_g)
     if not precise and gallery.dtype == jnp.float32:
         gallery = gallery.astype(jnp.bfloat16)
-    queries = jnp.asarray(queries).astype(gallery.dtype)
+    # precise keeps fp32 queries even over a bf16-stored gallery (the kernel
+    # upcasts gallery tiles in VMEM); otherwise match the storage dtype.
+    queries = jnp.asarray(queries).astype(
+        jnp.float32 if precise else gallery.dtype
+    )
     nv = jnp.asarray([n], dtype=jnp.int32)
 
     outs_d = []

@@ -95,6 +95,70 @@ def select_pivots(
     )
 
 
+def select_pivots_device(
+    gallery: jax.Array,  # [N, D] device-resident (bf16 or fp32)
+    labels,  # [N] int — host or device
+    seed: int = 0,
+    pivot_fraction: float = 0.015,
+    min_pivots: int = 5,
+    max_pivots: int = 32,
+) -> Tuple[np.ndarray, jax.Array, np.ndarray]:
+    """Device-side greedy pivot selection + P_matrix build (L2 only).
+
+    The host ``select_pivots`` needs the full fp32 gallery in host memory;
+    at production scale (1M x 1536) shipping that over the tunneled device
+    link costs minutes (~7 MB/s), so the index build itself runs on the
+    chip: each greedy far-point step (ann.cpp:302-331) is one [N, D] @ [D]
+    contraction on the MXU and the P_matrix is the stack of the per-pivot
+    distance rows. Semantics match ``select_pivots`` up to the gallery
+    storage dtype's rounding. The whole build queues ~P dispatches and
+    fetches only the [P] pivot ids + other-class minima.
+
+    Returns (pivot_indices [P] int64 host, p_matrix [P, N] fp32 DEVICE,
+    other_class_min [P] fp32 host).
+    """
+    gallery = jnp.asarray(gallery)
+    n, dim = gallery.shape
+    num = int(n * pivot_fraction)
+    num = max(num, min_pivots)
+    num = min(num, max_pivots, n)
+    labels_d = jax.device_put(jnp.asarray(np.asarray(labels), jnp.int32))
+    gal_sq = jnp.sum(jnp.square(gallery.astype(jnp.float32)), axis=1)  # [N]
+
+    @jax.jit
+    def step(p_idx, cum_far, chosen):
+        pf = gallery[p_idx]  # [D] storage dtype
+        cross = jnp.einsum(
+            "nd,d->n", gallery, pf, preferred_element_type=jnp.float32
+        )
+        p_sq = jnp.sum(jnp.square(pf.astype(jnp.float32)))
+        d = jnp.maximum(gal_sq + p_sq - 2.0 * cross, 0.0) / dim  # window-mean
+        other = jnp.where(labels_d != labels_d[p_idx], d, BIG)
+        other_min = jnp.min(other)
+        cum_far = cum_far + d
+        far = jnp.where(chosen, -1e12, cum_far)
+        nxt = jnp.argmax(far).astype(jnp.int32)
+        chosen = chosen.at[nxt].set(True)
+        return d, other_min, cum_far, chosen, nxt
+
+    rng = np.random.default_rng(seed)
+    p_idx = jnp.int32(int(rng.integers(n)))  # first pivot random (ann.cpp:302)
+    chosen = jnp.zeros((n,), jnp.bool_).at[p_idx].set(True)
+    cum_far = jnp.zeros((n,), jnp.float32)
+    rows, other_mins, idxs = [], [], [p_idx]
+    for ii in range(num):
+        d, om, cum_far, chosen, nxt = step(p_idx, cum_far, chosen)
+        rows.append(d)
+        other_mins.append(om)
+        if ii < num - 1:
+            idxs.append(nxt)
+            p_idx = nxt
+    p_matrix = jnp.stack(rows)  # [P, N] fp32, stays device-resident
+    pivot_idx = np.asarray(jnp.stack(idxs)).astype(np.int64)  # one tiny fetch
+    other_min = np.asarray(jnp.stack(other_mins)).astype(np.float32)
+    return pivot_idx, p_matrix, other_min
+
+
 @partial(jax.jit, static_argnames=("budget", "kind"))
 def _dem_search(
     queries: jax.Array,  # [B, D]
@@ -336,6 +400,53 @@ class DirectedEnumerationMatcher:
         self._p_matrix = jax.device_put(jnp.asarray(p_matrix, jnp.float32))
         self._pivot_idx = jax.device_put(jnp.asarray(pivots, jnp.int32))
         self.set_budget(image_count_to_check)
+
+    @classmethod
+    def from_device(
+        cls,
+        gallery_dev: jax.Array,  # [N, D] already device-resident
+        labels,
+        false_accept_rate: float = 0.01,
+        threshold: float = 0.0,
+        image_count_to_check: int = 0,
+        seed: int = 0,
+        pivot_fraction: float = 0.015,
+        max_pivots: int = 32,
+        probe_mode: str = "gather",
+    ) -> "DirectedEnumerationMatcher":
+        """Build the DEM index without ever materializing the gallery on
+        the host (L2 only): pivot selection and the P_matrix run on device
+        (``select_pivots_device``) and only the [P] pivot ids / minima are
+        fetched. This is the production build path — a 1M x 1536 gallery
+        upload over the tunneled link costs minutes, while the device build
+        is ~P matvec dispatches."""
+        self = object.__new__(cls)
+        self.name = "dem" if probe_mode == "exact" else "dem(gather)"
+        self.kind = DistanceKind.L2
+        self.probe_mode = probe_mode
+        self._n = int(gallery_dev.shape[0])
+        dtype = jnp.bfloat16 if probe_mode == "gather" else jnp.float32
+        gallery_dev = jnp.asarray(gallery_dev, dtype)
+        pivots, p_matrix_dev, other_min = select_pivots_device(
+            gallery_dev,
+            labels,
+            seed=seed,
+            pivot_fraction=pivot_fraction,
+            max_pivots=max_pivots,
+        )
+        if threshold <= 0:
+            threshold = get_threshold(other_min, false_accept_rate)
+        # p_matrix stays device-resident (it can be 100s of MB at scale);
+        # DEMIndex carries None in its host slot by design here.
+        self.index = DEMIndex(pivots, None, float(threshold))
+        self.gallery = gallery_dev
+        self._pivot_feats = gallery_dev[jnp.asarray(pivots, jnp.int32)].astype(
+            jnp.float32
+        )
+        self._p_matrix = p_matrix_dev
+        self._pivot_idx = jax.device_put(jnp.asarray(pivots, jnp.int32))
+        self.set_budget(image_count_to_check)
+        return self
 
     def set_budget(self, image_count_to_check: int) -> None:
         # Reference semantics: the budget counts ALL distance evaluations,

@@ -230,11 +230,8 @@ class SmallWorldMatcher:
             image_count_to_check = self._n
         self.budget = int(image_count_to_check)
 
-    def search(self, queries: np.ndarray):
-        from fast_image_recognition_tpu.search.base import SearchResult
-
-        q = jnp.asarray(queries, jnp.float32)
-        b = int(q.shape[0])
+    def _entry_ids(self, b: int) -> jax.Array:
+        """Seeded per-row-distinct random entry points [b, beam] int32."""
         rng = np.random.default_rng(self.seed + 1)
         beam = min(self.beam, self._n)
         entries_np = rng.integers(0, self._n, size=(b, beam), dtype=np.int64)
@@ -253,14 +250,23 @@ class SmallWorldMatcher:
             entries_np = (
                 np.argsort(rng.random((b, self._n)), axis=1)[:, :beam]
             )
-        entries = jnp.asarray(entries_np.astype(np.int32))
+        return jnp.asarray(entries_np.astype(np.int32))
+
+    def search_device(self, queries_dev, entries=None):
+        """Device-in/device-out search (no host fetch) — the serving/bench
+        path queues many of these and fetches once; on the tunneled device
+        a per-call fetch would dominate the measured latency."""
+        b = int(queries_dev.shape[0])
+        if entries is None:
+            entries = self._entry_ids(b)
+        beam = min(self.beam, self._n)
         k = int(self.neighbors.shape[1])
         # Every step expands >=1 beam slot and each beam entrant was a
         # counted evaluation, so <= budget + beam expansions can ever
         # happen; the cap below is a safety net, not the usual stop.
         max_steps = self.budget + beam * k + 8
-        idx, dist, checked = _sw_search(
-            q,
+        return _sw_search(
+            jnp.asarray(queries_dev, jnp.float32),
             self.gallery,
             self.gallery_sqnorm,
             self.neighbors,
@@ -269,6 +275,12 @@ class SmallWorldMatcher:
             budget=self.budget,
             max_steps=max_steps,
         )
+
+    def search(self, queries: np.ndarray):
+        from fast_image_recognition_tpu.search.base import SearchResult
+
+        q = jnp.asarray(queries, jnp.float32)
+        idx, dist, checked = self.search_device(q)
         return SearchResult(
             indices=np.asarray(idx, np.int32),
             distances=np.asarray(dist, np.float32),

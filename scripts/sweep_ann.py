@@ -3,14 +3,23 @@
 
 For each (gallery N, batch B, budget) writes one JSON line with queries/sec
 for `dem-gather` and for the fused brute-force kernel `topk_l2` at the SAME
-batch, plus error_pct (label accuracy on the synthetic near-duplicate
-probes) and checked_pct — the accuracy/%checked operating point the
-reference prints next to every latency (qt_cpp/ann.cpp:106-107, sweep at
-:61-70).
+batch, plus error_pct (planted-truth accuracy) and checked_pct — the
+accuracy/%checked operating point the reference prints next to every
+latency (qt_cpp/ann.cpp:106-107, budget sweep at :61-70).
+
+Workload: the gallery is built ON DEVICE (a host upload at 1M x 1536 costs
+minutes over the tunneled link) as class-clustered identities — 4 enrolled
+images per identity, probe j a fresh sample of a known identity — so
+error_pct is the label error the reference reports. Gallery sizes are
+1024-multiples so the padded brute-force view and the DEM gather view
+share ONE device array. The DEM index is also built on device
+(`DirectedEnumerationMatcher.from_device`).
 
 Run on the real chip:
   python scripts/sweep_ann.py --out benchmarks/ann_crossover_r3.jsonl
-Timing is tunnel-safe: N dispatches queued, one fetch.
+  python scripts/sweep_ann.py --galleries 102400 --small-world \
+      --out benchmarks/ann_crossover_r3.jsonl
+Timing is tunnel-safe: N dispatches queued, one tiny fetch.
 """
 
 from __future__ import annotations
@@ -21,6 +30,10 @@ import sys
 import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+# gathered candidate block cap: B * budget * D * 2 bytes must fit alongside
+# the gallery + likelihood matrix in HBM
+GATHER_BYTES_CAP = 1.5e9
 
 
 def _time_queued(fn, fetch, iters: int) -> float:
@@ -36,37 +49,100 @@ def _time_queued(fn, fetch, iters: int) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def _scan_searches(search_fn, pick, probes_stack):
+    """One jit dispatch running K sequential searches (lax.scan) — the
+    tunneled link costs ~10 ms of RPC per dispatch, which would floor every
+    sub-10ms config at the same q/s; a production TPU host dispatches in
+    ~100 us. Scanning K searches inside one dispatch amortizes the RPC so
+    the measurement reflects device throughput. Returns a jitted
+    () -> [K, B] int32 predictions thunk."""
+    import jax
+
+    @jax.jit
+    def run(pstack):
+        def body(carry, p):
+            return carry, pick(search_fn(p))
+
+        _, idxs = jax.lax.scan(body, 0, pstack)
+        return idxs
+
+    return lambda: run(probes_stack)
+
+
+def _inner_for(batch: int) -> int:
+    return min(256, max(1, 2048 // batch))
+
+
+def _device_workload(
+    n: int,
+    dim: int,
+    b_max: int,
+    seed: int = 0,
+    per_class: int = 4,
+    sigma: float = 0.25,
+):
+    """Class-clustered recognition workload, built ON DEVICE in one dispatch
+    (nothing big crosses the link): n/per_class identities, each a random
+    center with `per_class` noisy enrolled images; probe j is a fresh noisy
+    sample of a known identity. Intra-class window-mean L2 ~ 2*sigma^2,
+    inter-class ~ 2 + 2*sigma^2 — the well-separated regime the reference's
+    face-embedding galleries live in.
+
+    Returns (gallery [n, dim] bf16 device, labels [n] np.int32,
+    probe_classes [b_max] np.int32, probes [b_max, dim] fp32 device)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    n_classes = n // per_class
+    labels = np.repeat(np.arange(n_classes, dtype=np.int32), per_class)
+    probe_cls = np.random.default_rng(seed).choice(
+        n_classes, size=b_max, replace=False
+    )
+    cls_d = jnp.asarray(probe_cls, jnp.int32)
+    kc, k1, k2 = jax.random.split(jax.random.PRNGKey(seed), 3)
+
+    @jax.jit
+    def build():
+        centers = jax.random.normal(kc, (n_classes, dim), jnp.bfloat16)
+        g = jnp.repeat(centers, per_class, axis=0) + sigma * jax.random.normal(
+            k1, (n, dim), jnp.bfloat16
+        )
+        probes = centers[cls_d].astype(jnp.float32) + sigma * jax.random.normal(
+            k2, (b_max, dim), jnp.float32
+        )
+        return g, probes
+
+    g, probes = build()
+    return g, labels, probe_cls, probes
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", default="benchmarks/ann_crossover_r3.jsonl")
-    parser.add_argument("--galleries", default="100000,1000000")
+    parser.add_argument("--galleries", default="102400,1048576")
     parser.add_argument("--batches", default="1,32,128")
     parser.add_argument("--budgets", default="0.001,0.005,0.01,0.02")
     parser.add_argument("--dim", type=int, default=1536)
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--small-world", action="store_true",
-                        help="also sweep the small_world graph matcher")
+                        help="also sweep the small_world graph matcher "
+                             "(O(N^2) device build — 100k-scale only)")
     args = parser.parse_args()
 
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from fast_image_recognition_tpu.data import make_gallery_and_probes
-    from fast_image_recognition_tpu.ops.distance_kernel import (
-        pad_gallery,
-        topk_l2,
-    )
+    from fast_image_recognition_tpu.ops.distance_kernel import topk_l2
     from fast_image_recognition_tpu.search.dem import DirectedEnumerationMatcher
 
-    lines = []
+    b_max = max(int(x) for x in args.batches.split(","))
     for n in [int(x) for x in args.galleries.split(",")]:
-        n_classes = max(n // 100, 10)
-        g, gl, p, pl = make_gallery_and_probes(
-            n_classes, max(n // n_classes, 2), 1, args.dim, seed=0
+        g, labels, probe_cls, probes_all = _device_workload(n, args.dim, b_max)
+        matcher = DirectedEnumerationMatcher.from_device(
+            g, labels, probe_mode="gather", seed=0
         )
-        n_actual = g.shape[0]
-        gal_bf = pad_gallery(jnp.asarray(g, jnp.bfloat16))
-        matcher = DirectedEnumerationMatcher(g, gl, probe_mode="gather", seed=0)
         sw = None
         if args.small_world:
             from fast_image_recognition_tpu.search.small_world import (
@@ -74,82 +150,108 @@ def main() -> None:
             )
 
             t0 = time.perf_counter()
-            sw = SmallWorldMatcher(g, seed=0, beam=12)
+            sw = SmallWorldMatcher(g.astype(jnp.float32), seed=0, beam=12)
             sw_build_s = time.perf_counter() - t0
+            print(f"small_world build at N={n}: {sw_build_s:.1f}s", flush=True)
 
         for b in [int(x) for x in args.batches.split(",")]:
-            probes = jnp.asarray(p[:b], jnp.float32)
-            truth = pl[:b]
+            inner = _inner_for(b)
+            # K shifted views of the planted probe pool -> [K, b, dim]
+            rows = (
+                np.arange(inner)[:, None] + np.arange(b)[None, :]
+            ) % b_max
+            pstack = probes_all[jnp.asarray(rows, jnp.int32)]
+            truth = probe_cls[rows]  # [K, b] true identity of each probe
+            iters = max(2, args.iters)
+
+            def err_pct(pred_rows) -> float:
+                return 100.0 * float(
+                    np.mean(labels[np.asarray(pred_rows)] != truth)
+                )
 
             # brute force at this batch (budget-independent)
-            import jax
-
-            bf_fn = jax.jit(
-                lambda q: topk_l2(q, gal_bf, k=1, n_valid=n_actual)
+            bf_run = _scan_searches(
+                lambda q: topk_l2(q, g, k=1, n_valid=n),
+                lambda o: o[1][:, 0],
+                pstack,
             )
-            bf_sec = _time_queued(
-                lambda: bf_fn(probes), lambda o: o[1], args.iters
-            )
-            bf_idx = np.asarray(bf_fn(probes)[1])[:, 0]
-            bf_err = 100.0 * float(np.mean(gl[bf_idx] != truth))
+            bf_sec = _time_queued(bf_run, lambda o: o, iters) / inner
+            bf_err = err_pct(bf_run())
 
             for frac in [float(x) for x in args.budgets.split(",")]:
-                budget = max(1, int(frac * n_actual))
-                matcher.set_budget(budget)
-                dem_sec = _time_queued(
-                    lambda: matcher.search_device(probes),
-                    lambda o: o[0],
-                    args.iters,
-                )
-                idx, _, checked = (
-                    np.asarray(x) for x in matcher.search_device(probes)
-                )
-                rec = {
+                budget = max(1, int(frac * n))
+                gather_bytes = b * budget * args.dim * 2
+                base = {
                     "method": "dem-gather",
-                    "gallery": n_actual,
+                    "gallery": n,
                     "batch": b,
                     "budget_frac": frac,
-                    "dem_qps": round(b / dem_sec, 1),
-                    "bf_qps": round(b / bf_sec, 1),
-                    "dem_over_bf": round(bf_sec / dem_sec, 3),
-                    "dem_error_pct": round(
-                        100.0 * float(np.mean(gl[idx] != truth)), 2
-                    ),
-                    "bf_error_pct": round(bf_err, 2),
-                    "checked_pct": round(
-                        100.0 * float(checked.mean()) / n_actual, 3
-                    ),
+                    "inner": inner,
                 }
-                lines.append(rec)
+                if gather_bytes > GATHER_BYTES_CAP:
+                    base["skipped"] = (
+                        f"gather block {gather_bytes / 1e9:.1f} GB > cap "
+                        "(large-batch + large-budget is brute force's regime)"
+                    )
+                    print(json.dumps(base), flush=True)
+                    with open(args.out, "a") as f:
+                        f.write(json.dumps(base) + "\n")
+                    continue
+                matcher.set_budget(budget)
+                dem_run = _scan_searches(
+                    matcher.search_device, lambda o: o[0], pstack
+                )
+                dem_sec = _time_queued(dem_run, lambda o: o, iters) / inner
+                dem_err = err_pct(dem_run())
+                _, _, checked = (
+                    np.asarray(x)
+                    for x in matcher.search_device(probes_all[:b])
+                )
+                rec = dict(
+                    base,
+                    dem_qps=round(b / dem_sec, 1),
+                    bf_qps=round(b / bf_sec, 1),
+                    dem_over_bf=round(bf_sec / dem_sec, 3),
+                    dem_error_pct=round(dem_err, 2),
+                    bf_error_pct=round(bf_err, 2),
+                    checked_pct=round(100.0 * float(checked.mean()) / n, 3),
+                )
                 print(json.dumps(rec), flush=True)
                 with open(args.out, "a") as f:
                     f.write(json.dumps(rec) + "\n")
 
             if sw is not None:
+                entries = sw._entry_ids(b)
                 for frac in [float(x) for x in args.budgets.split(",")]:
-                    sw.set_budget(max(1, int(frac * n_actual)))
-                    sw_sec = _time_queued(
-                        lambda: sw.search(probes).indices,
-                        lambda o: o,
-                        max(2, args.iters // 4),
+                    sw.set_budget(max(1, int(frac * n)))
+                    sw_run = _scan_searches(
+                        lambda q: sw.search_device(q, entries),
+                        lambda o: o[0],
+                        pstack,
                     )
-                    r = sw.search(probes)
+                    sw_sec = (
+                        _time_queued(sw_run, lambda o: o, max(2, iters // 4))
+                        / inner
+                    )
+                    sw_err = err_pct(sw_run())
+                    _, _, checked = (
+                        np.asarray(x)
+                        for x in sw.search_device(probes_all[:b], entries)
+                    )
                     rec = {
                         "method": "small_world",
-                        "gallery": n_actual,
+                        "gallery": n,
                         "batch": b,
                         "budget_frac": frac,
+                        "inner": inner,
                         "sw_qps": round(b / sw_sec, 1),
                         "bf_qps": round(b / bf_sec, 1),
-                        "sw_error_pct": round(
-                            100.0 * float(np.mean(gl[r.indices] != truth)), 2
-                        ),
+                        "sw_error_pct": round(sw_err, 2),
                         "checked_pct": round(
-                            100.0 * float(r.checked_fraction.mean()), 3
+                            100.0 * float(checked.mean()) / n, 3
                         ),
                         "build_s": round(sw_build_s, 1),
                     }
-                    lines.append(rec)
                     print(json.dumps(rec), flush=True)
                     with open(args.out, "a") as f:
                         f.write(json.dumps(rec) + "\n")

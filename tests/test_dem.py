@@ -12,6 +12,7 @@ from fast_image_recognition_tpu.search.dem import (
     DirectedEnumerationMatcher,
     dem_oracle_search,
     select_pivots,
+    select_pivots_device,
 )
 
 
@@ -39,6 +40,43 @@ def test_pivot_selection_properties(data):
     for i in [0, len(pivots) - 1]:
         want = oracle_pairwise(gallery[pivots[i]][None], gallery)[0]
         np.testing.assert_allclose(p_matrix[i], want, rtol=1e-5)
+
+
+def test_device_build_matches_host_build(data):
+    """select_pivots_device / from_device vs the host build — the device
+    index build (used at production scale where the gallery never touches
+    the host) must pick the same pivots and produce the same P_matrix and
+    threshold, up to fp32 matmul rounding."""
+    import jax.numpy as jnp
+
+    gallery, glabels, probes, _ = data
+    rng = np.random.default_rng(9)
+    piv_h, pm_h, om_h = select_pivots(gallery, glabels, rng)
+    gal_dev = jnp.asarray(gallery, jnp.float32)
+    piv_d, pm_d, om_d = select_pivots_device(gal_dev, glabels, seed=9)
+    np.testing.assert_array_equal(piv_h, piv_d)
+    np.testing.assert_allclose(np.asarray(pm_d), pm_h, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(om_d, om_h, rtol=2e-4, atol=1e-5)
+
+    host_m = DirectedEnumerationMatcher(
+        gallery, glabels, seed=9, probe_mode="gather", image_count_to_check=60
+    )
+    dev_m = DirectedEnumerationMatcher.from_device(
+        gal_dev, glabels, seed=9, probe_mode="gather", image_count_to_check=60
+    )
+    assert dev_m.budget == host_m.budget
+    assert abs(dev_m.index.threshold - host_m.index.threshold) <= 1e-3 * max(
+        1.0, abs(host_m.index.threshold)
+    )
+    r_h = host_m.search(probes)
+    r_d = dev_m.search(probes)
+    # Identical pivots, but the device P_matrix is computed from the
+    # bf16-stored gallery (~0.1% input rounding) while the host one comes
+    # from the fp32 features — likelihood near-ties among same-class rows
+    # reorder freely, so compare at the LABEL level (on the real MXU the
+    # row-level agreement drops to ~0.5 while labels stay ~0.98).
+    agree = float(np.mean(glabels[r_h.indices] == glabels[r_d.indices]))
+    assert agree >= 0.9
 
 
 def test_matches_oracle_probe_semantics(data, matcher):
