@@ -128,6 +128,13 @@ def main() -> None:
     parser.add_argument("--small-world", action="store_true",
                         help="also sweep the small_world graph matcher "
                              "(O(N^2) device build — 100k-scale only)")
+    parser.add_argument("--sw-budgets", default="0.05,0.1,0.25,0.5",
+                        help="small_world budget grid — the graph search "
+                             "needs enough evaluations to walk the beam to "
+                             "the target's neighborhood (the reference runs "
+                             "small_world_rand at checked ~25-50%%, "
+                             "ann.cpp:61-70); the DEM grid's 0.1-2%% stalls "
+                             "it at the random entry points")
     args = parser.parse_args()
 
     import jax
@@ -222,7 +229,7 @@ def main() -> None:
 
             if sw is not None:
                 entries = sw._entry_ids(b)
-                for frac in [float(x) for x in args.budgets.split(",")]:
+                for frac in [float(x) for x in args.sw_budgets.split(",")]:
                     sw.set_budget(max(1, int(frac * n)))
                     sw_run = _scan_searches(
                         lambda q: sw.search_device(q, entries),
