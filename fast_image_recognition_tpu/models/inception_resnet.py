@@ -87,7 +87,8 @@ class Mixed5b(nn.Module):
         b2 = ConvBN(64, dtype=d, name="b2_0")(x, train)
         b2 = ConvBN(96, (3, 3), dtype=d, name="b2_1")(b2, train)
         b2 = ConvBN(96, (3, 3), dtype=d, name="b2_2")(b2, train)
-        b3 = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+        b3 = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME",
+                         count_include_pad=False)
         b3 = ConvBN(64, dtype=d, name="b3")(b3, train)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)  # 320
 

@@ -59,7 +59,8 @@ class Mixed35(nn.Module):
         b2 = ConvBN(64, dtype=d, name="b2_0")(x, train)
         b2 = ConvBN(96, (3, 3), dtype=d, name="b2_1")(b2, train)
         b2 = ConvBN(96, (3, 3), dtype=d, name="b2_2")(b2, train)
-        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME",
+                         count_include_pad=False)
         bp = ConvBN(self.pool_filters, dtype=d, name="bp")(bp, train)
         return jnp.concatenate([b0, b1, b2, bp], axis=-1)
 
@@ -98,7 +99,8 @@ class Mixed17(nn.Module):
         b2 = ConvBN(c, (1, 7), dtype=d, name="b2_2")(b2, train)
         b2 = ConvBN(c, (7, 1), dtype=d, name="b2_3")(b2, train)
         b2 = ConvBN(192, (1, 7), dtype=d, name="b2_4")(b2, train)
-        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME",
+                         count_include_pad=False)
         bp = ConvBN(192, dtype=d, name="bp")(bp, train)
         return jnp.concatenate([b0, b1, b2, bp], axis=-1)
 
@@ -139,7 +141,8 @@ class Mixed8x8(nn.Module):
         b2a = ConvBN(384, (1, 3), dtype=d, name="b2_2a")(b2, train)
         b2b = ConvBN(384, (3, 1), dtype=d, name="b2_2b")(b2, train)
         b2 = jnp.concatenate([b2a, b2b], axis=-1)
-        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME",
+                         count_include_pad=False)
         bp = ConvBN(192, dtype=d, name="bp")(bp, train)
         return jnp.concatenate([b0, b1, b2, bp], axis=-1)
 

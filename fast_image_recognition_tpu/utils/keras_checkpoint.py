@@ -47,12 +47,22 @@ from fast_image_recognition_tpu.models.mobilenet import mobilenet_plan
 # ---------------------------------------------------------------------------
 
 def _bn_in(w: Mapping[str, np.ndarray], layer: str):
+    mean = np.asarray(w[f"{layer}/moving_mean"])
+    # Inception-family BNs are built with scale=False (no gamma) in the
+    # stock keras.applications implementations — their released h5 files
+    # carry only beta/moving_* for those layers (found by exporting a live
+    # keras model through this contract). Our flax BatchNorm always has a
+    # scale slot, so synthesize the identity.
+    gamma = w.get(f"{layer}/gamma") if hasattr(w, "get") else (
+        w[f"{layer}/gamma"] if f"{layer}/gamma" in w else None
+    )
     params = {
-        "scale": np.asarray(w[f"{layer}/gamma"]),
+        "scale": np.asarray(gamma) if gamma is not None
+        else np.ones_like(mean),
         "bias": np.asarray(w[f"{layer}/beta"]),
     }
     stats = {
-        "mean": np.asarray(w[f"{layer}/moving_mean"]),
+        "mean": mean,
         "var": np.asarray(w[f"{layer}/moving_variance"]),
     }
     return params, stats
@@ -176,10 +186,12 @@ def _detect_counter_start(weights: Mapping[str, np.ndarray], base: str) -> int:
     Keras auto-names start at '<base>' under Keras 3 / tf.keras 2.x graph
     rebuilds but at '<base>_1' in the original Keras-2-era h5 releases of
     keras-applications (the files dnn_feature_extractor.py:45-48 loads).
-    Probe for the first kernel instead of trusting a 0-based contract."""
-    if f"{base}/kernel" in weights or f"{base}/gamma" in weights:
+    Probe for the first kernel instead of trusting a 0-based contract.
+    (BN probes use beta: the inception-family BNs are scale=False and
+    carry no gamma.)"""
+    if f"{base}/kernel" in weights or f"{base}/beta" in weights:
         return 0
-    if f"{base}_1/kernel" in weights or f"{base}_1/gamma" in weights:
+    if f"{base}_1/kernel" in weights or f"{base}_1/beta" in weights:
         return 1
     return 0
 
@@ -433,6 +445,64 @@ def mobilenet_v1_to_keras_names(
         out[f"conv_pw_{i}/kernel"] = np.asarray(bp["pw_conv"]["kernel"])
         put_bn(f"conv_pw_{i}_bn", bp["pw_bn"], bs["pw_bn"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# EfficientNet (keras.applications.efficientnet layer naming). The reference
+# loads the TF1-era checkpoints (utils/tf_checkpoint.py); the keras-
+# applications h5 releases of the SAME architecture use explicit layer
+# names (stem_conv, block{stage}{letter}_{expand_conv,dwconv,se_*,
+# project_conv}, top_conv) — mapped here so either lineage ports.
+# ---------------------------------------------------------------------------
+
+def convert_keras_efficientnet(
+    weights: Mapping[str, np.ndarray], variant: str
+) -> Dict[str, dict]:
+    """{'<layer>/<weight>': array} -> variables pytree for
+    models/efficientnet.py. Keras names the depthwise BN just
+    '<block>_bn' and the head conv 'top_conv'."""
+    from fast_image_recognition_tpu.models.efficientnet import block_plan
+
+    params: Dict[str, dict] = {}
+    stats: Dict[str, dict] = {}
+    params["stem_conv"] = {"kernel": np.asarray(weights["stem_conv/kernel"])}
+    params["stem_bn"], stats["stem_bn"] = _bn_in(weights, "stem_bn")
+    for cfg in block_plan(variant):
+        nm = cfg["name"]
+        bp: Dict[str, dict] = {}
+        bs: Dict[str, dict] = {}
+        if cfg["expand"] != 1:
+            bp["expand_conv"] = {
+                "kernel": np.asarray(weights[f"{nm}_expand_conv/kernel"])
+            }
+            bp["expand_bn"], bs["expand_bn"] = _bn_in(
+                weights, f"{nm}_expand_bn"
+            )
+        dwk = np.asarray(weights[f"{nm}_dwconv/depthwise_kernel"])
+        bp["dw_conv"] = {"kernel": np.transpose(dwk, (0, 1, 3, 2))}
+        bp["dw_bn"], bs["dw_bn"] = _bn_in(weights, f"{nm}_bn")
+        if cfg["se_ratio"] > 0:
+            bp["se"] = {
+                "reduce": {
+                    "kernel": np.asarray(weights[f"{nm}_se_reduce/kernel"]),
+                    "bias": np.asarray(weights[f"{nm}_se_reduce/bias"]),
+                },
+                "expand": {
+                    "kernel": np.asarray(weights[f"{nm}_se_expand/kernel"]),
+                    "bias": np.asarray(weights[f"{nm}_se_expand/bias"]),
+                },
+            }
+        bp["project_conv"] = {
+            "kernel": np.asarray(weights[f"{nm}_project_conv/kernel"])
+        }
+        bp["project_bn"], bs["project_bn"] = _bn_in(
+            weights, f"{nm}_project_bn"
+        )
+        params[nm] = bp
+        stats[nm] = bs
+    params["head_conv"] = {"kernel": np.asarray(weights["top_conv/kernel"])}
+    params["head_bn"], stats["head_bn"] = _bn_in(weights, "top_bn")
+    return {"params": params, "batch_stats": stats}
 
 
 # ---------------------------------------------------------------------------
