@@ -340,21 +340,47 @@ def bench_bf(args) -> None:
         return q / jnp.linalg.norm(q, axis=1, keepdims=True)
 
     queries = mkq(gallery, jax.random.PRNGKey(7))
-    fn = jax.jit(lambda q, g: topk_l2(q, g, k=1, n_valid=args.gallery))
-    out = fn(queries, gallery)
+    if args.quant:
+        # int8 scan + exact bf16 rescore: half the HBM stream, 2x MXU peak
+        from fast_image_recognition_tpu.ops.distance_kernel import (
+            gallery_sq_norms,
+            quant_gallery_scales,
+            topk_l2_quant,
+        )
+        from fast_image_recognition_tpu.ops.quant import quantize_rows
+
+        gal_q, scales = jax.jit(quantize_rows)(gallery)
+        gsq = jax.jit(
+            lambda g: gallery_sq_norms(g, args.gallery)
+        )(gallery)
+        gsc = jax.jit(
+            lambda s: quant_gallery_scales(s, args.gallery)
+        )(scales)
+        fn = jax.jit(
+            lambda q, gq, g: topk_l2_quant(
+                q, gq, gsq, gsc, g, k=1, r=16, compute=args.quant_compute
+            )
+        )
+        run = lambda: fn(queries, gal_q, gallery)  # noqa: E731
+        desc = f"int8-scan+rescore ({args.quant_compute})"
+    else:
+        fn = jax.jit(lambda q, g: topk_l2(q, g, k=1, n_valid=args.gallery))
+        run = lambda: fn(queries, gallery)  # noqa: E731
+        desc = "fused brute-force"
+    out = run()
     idx_fast = np.asarray(out[1])[:, 0]
     # Pallas kernels are opaque to XLA's cost model; the distance matmul is
     # the dominant term: 2*B*N*D FLOPs (plus norms, a lower-order term).
     flops = 2.0 * args.batch * args.gallery * dim
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        out = fn(queries, gallery)
+        out = run()
     _ = np.asarray(out[0])
     sec = (time.perf_counter() - t0) / args.iters
     qps = args.batch / sec
     idx_exact = _exact_fp32_nn(queries, gallery, args.gallery)
     _emit(
-        f"queries/sec/chip (fused brute-force 1-NN, D=1536, "
+        f"queries/sec/chip ({desc} 1-NN, D=1536, "
         f"{args.gallery} gallery)",
         qps,
         "queries/sec/chip",
@@ -578,6 +604,14 @@ def main() -> None:
     parser.add_argument("--pca-dim", type=int, default=128)
     parser.add_argument("--rescore", type=int, default=48)
     parser.add_argument("--quick", action="store_true", help="small shapes for smoke runs")
+    parser.add_argument(
+        "--quant", action="store_true",
+        help="bf config: int8-quantized gallery scan + exact bf16 rescore",
+    )
+    parser.add_argument(
+        "--quant-compute", default="int8", choices=["int8", "bf16"],
+        help="int8 scan contraction dtype (bf16 = upcast-in-VMEM fallback)",
+    )
     args = parser.parse_args()
 
     if args.all:

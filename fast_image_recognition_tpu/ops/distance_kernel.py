@@ -336,6 +336,217 @@ def tile_min_l2(
     return out_d / d, out_i[:b]
 
 
+def _tilemin_quant_kernel(
+    # inputs
+    q_ref,  # [B, D] int8 (whole padded query block, VMEM-resident)
+    qs_ref,  # [B, 1] fp32 per-query dequant scales
+    g_ref,  # [TG, D] int8 (streamed gallery tile)
+    gsq_ref,  # [8, TG] row j%8 = TRUE |g|^2 of this tile (BIG on pads)
+    gsc_ref,  # [8, TG] row j%8 = per-row dequant scales (0 on pads)
+    # outputs (row j%8 of the revisited 8-row block = this tile's min)
+    out_d_ref,  # [8, B]
+    out_i_ref,  # [8, B]
+    *,
+    tile_g: int,
+    compute: str,
+):
+    """Int8 variant of ``_tilemin_kernel``: the gallery streams from HBM at
+    1 byte/element (half the bf16 stream) and the cross term runs on the
+    MXU's int8 path (2x the bf16 rate on v5e) when ``compute='int8'``;
+    ``compute='bf16'`` upcasts in VMEM instead (halved HBM stream only —
+    the measured fallback if Mosaic's int8 contraction underperforms).
+    The distance uses the TRUE ``|g|^2`` (precomputed before quantization),
+    so the only approximation is int8 rounding of the cross term —
+    downstream exact rescoring of the candidate rows absorbs it."""
+    j = pl.program_id(0)
+    if compute == "int8":
+        cross = jax.lax.dot_general(
+            q_ref[:],
+            g_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)  # [B, TG]
+    else:
+        cross = jax.lax.dot_general(
+            q_ref[:].astype(jnp.bfloat16),
+            g_ref[:].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    tile_d = gsq_ref[j % 8, :][None, :] - (2.0 * qs_ref[:]) * (
+        cross * gsc_ref[j % 8, :][None, :]
+    )
+    m, a = _masked_argmin(tile_d)
+    out_d_ref[j % 8, :] = m
+    out_i_ref[j % 8, :] = j * tile_g + a
+
+
+@functools.partial(jax.jit, static_argnames=("tile_g", "interpret", "compute"))
+def _tilemin_quant_block(
+    queries: jax.Array,  # [Bp, D] int8
+    qscales: jax.Array,  # [Bp, 1] fp32
+    gallery: jax.Array,  # [Np, D] int8 (padded to tile_g)
+    gsq_rows: jax.Array,  # [n_rows8, TG] fp32 TRUE |g|^2 (BIG on pads)
+    gsc_rows: jax.Array,  # [n_rows8, TG] fp32 row scales (0 on pads)
+    tile_g: int,
+    interpret: bool,
+    compute: str,
+):
+    bp, d = queries.shape
+    np_, _ = gallery.shape
+    n_tiles = np_ // tile_g
+    n_rows = _round_up(n_tiles, 8)
+    kernel = functools.partial(
+        _tilemin_quant_kernel, tile_g=tile_g, compute=compute
+    )
+    out_d, out_i = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((bp, d), lambda j: (0, 0)),
+            pl.BlockSpec((bp, 1), lambda j: (0, 0)),
+            pl.BlockSpec((tile_g, d), lambda j: (j, 0)),
+            pl.BlockSpec((8, tile_g), lambda j: (j // 8, 0)),
+            pl.BlockSpec((8, tile_g), lambda j: (j // 8, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, bp), lambda j: (j // 8, 0)),
+            pl.BlockSpec((8, bp), lambda j: (j // 8, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows, bp), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, bp), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * np_ * d,
+            bytes_accessed=int(np_ * d),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries, qscales, gallery, gsq_rows, gsc_rows)
+    return out_d[:n_tiles], out_i[:n_tiles]
+
+
+def quant_gallery_scales(
+    scales: jax.Array, n_valid: int, tile_g: int = 1024
+) -> jax.Array:
+    """Lay per-row dequant scales out like ``gallery_sq_norms`` does
+    ([roundup(n_tiles, 8), tile_g] fp32, 0 beyond n_valid/pads)."""
+    n = scales.shape[0]
+    np_ = _round_up(max(n, tile_g), tile_g)
+    s = jnp.pad(scales.astype(jnp.float32), (0, np_ - n))
+    s = jnp.where(jnp.arange(np_) < n_valid, s, 0.0)
+    n_tiles = np_ // tile_g
+    n_rows = _round_up(n_tiles, 8)
+    s = s.reshape(n_tiles, tile_g)
+    if n_rows != n_tiles:
+        s = jnp.pad(s, ((0, n_rows - n_tiles), (0, 0)))
+    return s
+
+
+def tile_min_l2_quant(
+    queries: jax.Array,  # [B, D] fp32/bf16 (quantized per-row here)
+    gallery_q: jax.Array,  # [Np, D] int8, pad_gallery-padded
+    gsq_rows: jax.Array,  # gallery_sq_norms(...) of the ORIGINAL gallery
+    gsc_rows: jax.Array,  # quant_gallery_scales(...)
+    *,
+    tile_g: int = 1024,
+    interpret: Optional[bool] = None,
+    compute: str = "int8",
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-gallery-tile approximate L2 min over an int8 gallery:
+    (dist [B, n_tiles], index [B, n_tiles]). See ``tile_min_l2``; this
+    variant halves the HBM stream and (compute='int8') doubles the MXU
+    rate, at int8-rounding distance error in the cross term."""
+    from fast_image_recognition_tpu.ops.quant import quantize_rows
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, d = queries.shape
+    qf = jnp.asarray(queries, jnp.float32)
+    qsq = jnp.einsum("bd,bd->b", qf, qf, preferred_element_type=jnp.float32)
+    q_i8, qs = quantize_rows(qf)
+    bp = _round_up(max(b, 128), 128)
+    if bp != b:
+        q_i8 = jnp.pad(q_i8, ((0, bp - b), (0, 0)))
+        qs = jnp.pad(qs, (0, bp - b))
+    outs_d = []
+    outs_i = []
+    for s in range(0, bp, MAX_QUERY_BLOCK):
+        od, oi = _tilemin_quant_block(
+            q_i8[s : s + MAX_QUERY_BLOCK],
+            qs[s : s + MAX_QUERY_BLOCK, None],
+            gallery_q,
+            gsq_rows,
+            gsc_rows,
+            tile_g,
+            interpret,
+            compute,
+        )
+        outs_d.append(od.T)
+        outs_i.append(oi.T)
+    out_d = jnp.concatenate(outs_d, axis=0) if len(outs_d) > 1 else outs_d[0]
+    out_i = jnp.concatenate(outs_i, axis=0) if len(outs_i) > 1 else outs_i[0]
+    out_d = jnp.maximum(out_d[:b] + qsq[:b, None], 0.0)
+    return out_d / d, out_i[:b]
+
+
+def topk_l2_quant(
+    queries: jax.Array,  # [B, D] fp32/bf16
+    gallery_q: jax.Array,  # [Np, D] int8 (pad_gallery-padded)
+    gsq_rows: jax.Array,
+    gsc_rows: jax.Array,
+    rescore_gallery: jax.Array,  # [>=N, D] bf16/fp32 exact rows
+    k: int = 1,
+    *,
+    r: int = 16,
+    tile_g: int = 1024,
+    interpret: Optional[bool] = None,
+    compute: str = "int8",
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact-rescored top-k over an int8-scanned gallery.
+
+    The int8 tile-min proposes the best row of each of the ``r`` best
+    tiles (contains the true 1-NN up to int8 rounding near-ties); the
+    ``r`` candidate rows are then gathered from ``rescore_gallery`` and
+    rescored exactly. Returns (window-mean distances [B, k], indices
+    [B, k]) like ``topk_l2``. Candidates are one-per-tile, so effective
+    k is capped at min(k, r, N/tile_g) — immaterial at production scale
+    (a 1M gallery has 1024 tiles) but it binds on toy galleries."""
+    d_t, i_t = tile_min_l2_quant(
+        queries,
+        gallery_q,
+        gsq_rows,
+        gsc_rows,
+        tile_g=tile_g,
+        interpret=interpret,
+        compute=compute,
+    )
+    r = min(r, d_t.shape[1])
+    _, tile_sel = jax.lax.top_k(-d_t, r)
+    cand = jnp.take_along_axis(i_t, tile_sel, axis=1)  # [B, R]
+    rows = jnp.take(rescore_gallery, cand, axis=0)  # [B, R, D]
+    qf = jnp.asarray(queries).astype(rows.dtype)
+    cross = jnp.einsum(
+        "bd,brd->br", qf, rows, preferred_element_type=jnp.float32
+    )
+    rsq = jnp.einsum(
+        "brd,brd->br", rows, rows, preferred_element_type=jnp.float32
+    )
+    qsq = jnp.einsum(
+        "bd,bd->b",
+        qf.astype(jnp.float32),
+        qf.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    dist = jnp.maximum(qsq[:, None] + rsq - 2.0 * cross, 0.0)
+    k_eff = min(k, r)
+    neg_d, sel = jax.lax.top_k(-dist, k_eff)
+    idx = jnp.take_along_axis(cand, sel, axis=1)
+    dim = queries.shape[1]
+    return -neg_d / dim, idx
+
+
 def topk_candidates_l2(
     queries: jax.Array,
     gallery: jax.Array,
