@@ -50,14 +50,40 @@ class BruteForceMatcher:
         max_features: Optional[int] = None,
         precise: bool = True,
         device_resident: bool = True,
+        precision: str = "fp32",
     ):
         self.name = f"BF, {max_features}" if max_features else "BF"
         self.kind = kind
         self.max_features = max_features
         self.precise = precise
+        self.precision = precision
         gal = jnp.asarray(gallery_features, dtype=jnp.float32)
-        self.gallery = jax.device_put(gal) if device_resident else gal
         self._n = gallery_features.shape[0]
+        if precision == "int8":
+            # Quantized serving scan (L2 only): int8 HBM stream + int8 MXU
+            # candidates, exact bf16 rescore of the one-per-tile top-R —
+            # see ops/quant.py. Full-feature only (no prefix windows).
+            if kind != DistanceKind.L2 or max_features:
+                raise ValueError(
+                    "precision='int8' supports full-feature L2 only"
+                )
+            from fast_image_recognition_tpu.ops.distance_kernel import (
+                gallery_sq_norms,
+                pad_gallery,
+                quant_gallery_scales,
+            )
+            from fast_image_recognition_tpu.ops.quant import quantize_rows
+
+            self.name = "BF-int8"
+            q8, scales = jax.jit(quantize_rows)(gal)
+            self._gal_q = pad_gallery(q8)
+            self._gsq = jax.jit(lambda g: gallery_sq_norms(g, self._n))(gal)
+            self._gsc = jax.jit(
+                lambda s: quant_gallery_scales(s, self._n)
+            )(scales)
+            self.gallery = pad_gallery(gal.astype(jnp.bfloat16))
+            return
+        self.gallery = jax.device_put(gal) if device_resident else gal
 
     def set_budget(self, image_count_to_check: int) -> None:
         pass  # exact method: budget has no meaning
@@ -66,7 +92,16 @@ class BruteForceMatcher:
         from fast_image_recognition_tpu.search.base import SearchResult
 
         q = jnp.asarray(queries, dtype=jnp.float32)
-        if self.kind != DistanceKind.L2 and self._n > STREAM_THRESHOLD:
+        if self.precision == "int8":
+            from fast_image_recognition_tpu.ops.distance_kernel import (
+                topk_l2_quant,
+            )
+
+            best, idx = topk_l2_quant(
+                q, self._gal_q, self._gsq, self._gsc, self.gallery, k=1
+            )
+            best, idx = best[:, 0], idx[:, 0].astype(jnp.int32)
+        elif self.kind != DistanceKind.L2 and self._n > STREAM_THRESHOLD:
             end = self.max_features or q.shape[-1]
             best, idx = streamed_topk(q, self.gallery, k=1, end=end, kind=self.kind)
             best, idx = best[:, 0], idx[:, 0]

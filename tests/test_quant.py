@@ -102,3 +102,21 @@ def test_quant_topk_k_gt_1():
     assert iq.shape == (b, 4) and dq.shape == (b, 4)
     d_np = np.asarray(dq)
     assert (np.diff(d_np, axis=1) >= -1e-6).all()  # ascending
+
+
+def test_bruteforce_matcher_int8():
+    """Matcher-level surface: precision='int8' must agree with the fp32
+    matcher on a separable recognition workload."""
+    from fast_image_recognition_tpu.search.brute_force import BruteForceMatcher
+
+    n, d, b = 4096, 256, 48
+    g, p, true = _planted(n, d, b, seed=9)
+    m8 = BruteForceMatcher(g, precision="int8")
+    mf = BruteForceMatcher(g)
+    r8 = m8.search(p)
+    rf = mf.search(p)
+    assert (r8.indices == rf.indices).all()
+    assert (r8.indices == true).all()
+    np.testing.assert_allclose(r8.distances, rf.distances, rtol=5e-2, atol=1e-4)
+    with pytest.raises(ValueError):
+        BruteForceMatcher(g, max_features=128, precision="int8")
