@@ -40,6 +40,11 @@ def main() -> None:
     parser.add_argument("--cache-dir", default="/tmp/fir_cache")
     parser.add_argument("--network-name", default=None)
     parser.add_argument("--train-heads-epochs", type=int, default=2)
+    parser.add_argument(
+        "--fused", action="store_true",
+        help="also run the fused one-dispatch serving engine (kNN + SVC "
+        "exit heads over real backbone segments)",
+    )
     parser.add_argument("--seed", type=int, default=123)
     args = parser.parse_args()
 
@@ -135,6 +140,38 @@ def main() -> None:
         x_train, tr_y, x_val, num_classes, ratio=0.8
     )
     report("hybrid kNN exits + final SVC", res_hybrid, va_y)
+
+    # --- fused serving engine (one-dispatch cascade over real segments) ----
+    if args.fused:
+        from fast_image_recognition_tpu.cascade.engine import (
+            SequentialInferencePipeline,
+        )
+
+        pipe = SequentialInferencePipeline(
+            model, variables, taps,
+            head_mode="knn",
+            galleries=x_train,
+            gallery_labels=tr_y,
+            ratio=0.8,
+        )
+        pipe.calibrate(tr_imgs[: min(len(tr_imgs), 128)])
+        r = pipe.predict_fused(va_imgs)
+        report("fused kNN-exit engine (d_min/0.8)", r, va_y)
+        print(
+            f"  ms/image {r.ms_per_image:.3f}  forced {r.forced_fraction:.3f}"
+        )
+        pipe_svc = SequentialInferencePipeline(
+            model, variables, taps,
+            coefs=cascade.coefs,
+            intercepts=cascade.intercepts,
+            thresholds=cascade.thresholds[:-1],
+        )
+        pipe_svc.calibrate(tr_imgs[: min(len(tr_imgs), 128)], tune=False)
+        r = pipe_svc.predict_fused(va_imgs)
+        report("fused SVC-exit engine (FAR<=1%)", r, va_y)
+        print(
+            f"  ms/image {r.ms_per_image:.3f}  forced {r.forced_fraction:.3f}"
+        )
 
     # --- BranchyNet heads (:1079-1232) ---------------------------------------
     if args.train_heads_epochs > 0:

@@ -22,6 +22,17 @@ data plane (fast feature-file ingest) lives in ``runtime/``.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("FIR_PLATFORM"):
+    # Escape hatch for the CLI drivers / scripts: the session may preset a
+    # device plugin (e.g. the axon TPU tunnel) that re-appends itself to
+    # JAX_PLATFORMS, so plain env vars can't force CPU — the config update
+    # after import can (FIR_PLATFORM=cpu python cli/run_ann.py ...).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["FIR_PLATFORM"])
+
 from fast_image_recognition_tpu.config import (  # noqa: F401
     DatasetConfig,
     DistanceKind,

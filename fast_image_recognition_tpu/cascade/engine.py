@@ -31,6 +31,16 @@ stock module (exact parity with ``model.apply``); ``engine='folded'`` runs
 them through the BN-folded functional path of ``models/inference.py``
 (MBConv families) — the same optimization the plain extractor ships, so the
 cascade's savings are measured against the *optimized* baseline.
+
+Exit heads: ``head_mode='linear'`` (default) is the baked-SVC rule above;
+``head_mode='knn'`` is the sequential kNN rule of sequential_inference.py
+:483-508 — 1-NN with cosine distance ``2 - 2 x.q`` against a per-level
+gallery, exiting when every gallery row within ``d_min / ratio`` shares the
+best label. That rule is equivalent to the scalar test
+``ratio * d_other_min - d_min > 0`` (d_other_min = nearest different-label
+distance), which is what the engine computes: one confidence scalar per
+image feeds the same threshold/compaction machinery as the linear head, so
+both policies share the fused one-dispatch program.
 """
 
 from __future__ import annotations
@@ -73,12 +83,16 @@ class SequentialInferencePipeline:
         model,
         variables,
         taps: Sequence[str],
-        coefs: Sequence[np.ndarray],  # per level [C, F_l] (+ final)
-        intercepts: Sequence[np.ndarray],
-        thresholds: Sequence[float],  # per non-final level
+        coefs: Optional[Sequence[np.ndarray]] = None,  # per level [C, F_l]
+        intercepts: Optional[Sequence[np.ndarray]] = None,
+        thresholds: Optional[Sequence[float]] = None,  # per non-final level
         buckets: Sequence[int] = (32, 128, 512),
         l2_normalize: bool = True,
         engine: str = "bind",  # 'bind' | 'folded' (MBConv families)
+        head_mode: str = "linear",  # 'linear' | 'knn'
+        galleries: Optional[Sequence[np.ndarray]] = None,  # knn: [N, F_l]
+        gallery_labels: Optional[np.ndarray] = None,  # knn: [N]
+        ratio: float = 0.8,  # knn d_min/d_other rule (reference :496)
     ):
         self.model = model
         self.variables = variables
@@ -90,9 +104,33 @@ class SequentialInferencePipeline:
         bounds = [0] + [i + 1 for i in tap_idx] + [len(plan)]
         self.segments = list(zip(bounds[:-1], bounds[1:]))
         self.num_levels = len(self.segments)  # taps + final
-        assert len(coefs) == self.num_levels
-        self.coefs = [jnp.asarray(c, jnp.float32) for c in coefs]
-        self.intercepts = [jnp.asarray(b, jnp.float32) for b in intercepts]
+        self.head_mode = head_mode
+        self.ratio = float(ratio)
+        if head_mode == "knn":
+            assert galleries is not None and gallery_labels is not None
+            assert len(galleries) == self.num_levels
+            # gallery rows are L2-normalized once here (cosine distance
+            # assumes unit rows, sequential_inference.py:469)
+            self.galleries = [
+                jnp.asarray(g, jnp.float32)
+                / jnp.maximum(
+                    jnp.linalg.norm(
+                        jnp.asarray(g, jnp.float32), axis=1, keepdims=True
+                    ),
+                    1e-12,
+                )
+                for g in galleries
+            ]
+            self.gallery_labels = jnp.asarray(gallery_labels, jnp.int32)
+            self.coefs = self.intercepts = None
+        else:
+            assert coefs is not None and len(coefs) == self.num_levels
+            self.coefs = [jnp.asarray(c, jnp.float32) for c in coefs]
+            self.intercepts = [
+                jnp.asarray(b, jnp.float32) for b in intercepts
+            ]
+        if thresholds is None:
+            thresholds = [0.0] * (self.num_levels - 1)
         self.thresholds = list(thresholds)
         self.buckets = sorted(buckets)
         self.l2_normalize = l2_normalize
@@ -115,17 +153,35 @@ class SequentialInferencePipeline:
     # ------------------------------------------------------------------ #
 
     def _head(self, emb, level: int):
+        """(prediction [B] int32, confidence [B] f32) for one exit level.
+        Exit fires when confidence > thresholds[level]."""
         emb = emb.astype(jnp.float32)
         if self.l2_normalize:
             emb = emb / jnp.maximum(
                 jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-12
             )
+        if self.head_mode == "knn":
+            # 1-NN cosine + reliability margin (sequential_inference.py
+            # :483-508): reliable <=> every row within d_min/ratio shares
+            # the best label <=> ratio * d_other_min - d_min > 0
+            g = self.galleries[level]
+            d = 2.0 - 2.0 * emb @ g.T  # [B, N]
+            best = jnp.argmin(d, axis=1)
+            d_min = jnp.take_along_axis(d, best[:, None], 1)[:, 0]
+            y_best = jnp.take(self.gallery_labels, best)
+            same = self.gallery_labels[None, :] == y_best[:, None]
+            d_other = jnp.min(jnp.where(same, jnp.inf, d), axis=1)
+            return y_best, self.ratio * d_other - d_min
         # baked Dense (sequential_inference.py:1350-1366)
-        return emb @ self.coefs[level].T + self.intercepts[level]
+        scores = emb @ self.coefs[level].T + self.intercepts[level]
+        return (
+            jnp.argmax(scores, axis=1).astype(jnp.int32),
+            jnp.max(scores, axis=1),
+        )
 
-    def _segment_impl(self, level: int, final: bool):
-        """Pure fn(params, x) -> (h, scores); not jitted (predict_fused
-        inlines several into one program, predict jits each)."""
+    def _trunk_impl(self, level: int, final: bool):
+        """Pure fn(params, x) -> (h, emb): one backbone segment plus its
+        exit-tap pooled embedding."""
         start, end = self.segments[level]
 
         if self.engine == "folded":
@@ -148,7 +204,7 @@ class SequentialInferencePipeline:
                     emb = folded_head(params, h, activation=act)
                 else:
                     emb = jnp.mean(h, axis=(1, 2), dtype=jnp.float32)
-                return h, self._head(emb, level)
+                return h, emb
 
             return fn
 
@@ -164,9 +220,43 @@ class SequentialInferencePipeline:
             emb = m.head_pool(h) if final else jnp.mean(
                 h, axis=(1, 2)
             ).astype(jnp.float32)
-            return h, self._head(emb, level)
+            return h, emb
 
         return fn
+
+    def _segment_impl(self, level: int, final: bool):
+        """Pure fn(params, x) -> (h, pred, conf); not jitted (predict_fused
+        inlines several into one program, predict jits each)."""
+        trunk = self._trunk_impl(level, final)
+
+        def fn(params, x):
+            h, emb = trunk(params, x)
+            return (h,) + self._head(emb, level)
+
+        return fn
+
+    def level_embeddings(self, images) -> List[np.ndarray]:
+        """Per-level pooled embeddings (L2-normalized if the pipeline
+        normalizes) for the whole batch, no exits — the reference's
+        embedding-cache pass (sequential_inference.py:823-886) used to
+        build kNN galleries / train exit heads."""
+        x = jnp.asarray(np.asarray(images, np.float32))
+        out: List[np.ndarray] = []
+        carry = x
+        for level in range(self.num_levels):
+            final = level == self.num_levels - 1
+            key = ("emb", level)
+            if key not in self._seg_fns:
+                self._seg_fns[key] = jax.jit(self._trunk_impl(level, final))
+            h, emb = self._seg_fns[key](self._seg_params, carry)
+            emb = emb.astype(jnp.float32)
+            if self.l2_normalize:
+                emb = emb / jnp.maximum(
+                    jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-12
+                )
+            out.append(np.asarray(emb))
+            carry = h
+        return out
 
     def _get_seg(self, level: int):
         final = level == self.num_levels - 1
@@ -178,12 +268,19 @@ class SequentialInferencePipeline:
     # calibration                                                         #
     # ------------------------------------------------------------------ #
 
-    def calibrate(self, images, quantile: float = 0.5) -> List[float]:
-        """Set per-level thresholds to the ``quantile`` of the max score
-        over the images still alive at that level (the reference FAR-tunes
-        per level on held-out data, sequential_inference.py:609-631; this
-        is the synthetic-workload analog) and record the survivor
-        fractions that size ``predict_fused``'s capacities."""
+    def calibrate(
+        self, images, quantile: float = 0.5, tune: Optional[bool] = None
+    ) -> List[float]:
+        """Record the survivor fractions that size ``predict_fused``'s
+        capacities, and (linear mode, or ``tune=True``) set per-level
+        thresholds to the ``quantile`` of the confidence over the images
+        still alive at that level (the reference FAR-tunes per level on
+        held-out data, sequential_inference.py:609-631; this is the
+        synthetic-workload analog). kNN mode defaults to ``tune=False``:
+        its rule fires at the fixed margin 0 (reference :496-497), so only
+        the fractions are measured."""
+        if tune is None:
+            tune = self.head_mode == "linear"
         x = jnp.asarray(np.asarray(images, np.float32))
         b = x.shape[0]
         alive = np.ones(b, dtype=bool)
@@ -191,9 +288,16 @@ class SequentialInferencePipeline:
         fractions: List[float] = []
         carry = x
         for level in range(self.num_levels - 1):
-            h, sc = self._get_seg(level)(self._seg_params, carry)
-            conf = np.asarray(sc).max(axis=1)
-            t = float(np.quantile(conf[alive], quantile)) if alive.any() else 0.0
+            h, _, conf = self._get_seg(level)(self._seg_params, carry)
+            conf = np.asarray(conf)
+            if tune:
+                t = (
+                    float(np.quantile(conf[alive], quantile))
+                    if alive.any()
+                    else 0.0
+                )
+            else:
+                t = float(self.thresholds[level])
             alive = alive & ~(conf > t)
             thresholds.append(t)
             fractions.append(float(alive.mean()))
@@ -237,9 +341,7 @@ class SequentialInferencePipeline:
             carry = images
             forced = jnp.int32(0)
             for level in range(num_levels):
-                h, scores = impls[level](params, carry)
-                conf = jnp.max(scores, axis=1)
-                lp = jnp.argmax(scores, axis=1).astype(jnp.int32)
+                h, lp, conf = impls[level](params, carry)
                 live = ~done[gidx]  # padding rows never write
                 fire = live if level == num_levels - 1 else (
                     (conf > thresholds[level]) & live
@@ -338,13 +440,14 @@ class SequentialInferencePipeline:
                 chunk = jnp.concatenate([jnp.asarray(chunk), pad], axis=0)
             carry = jnp.asarray(chunk)  # device-resident from here on
             for level in range(self.num_levels):
-                h, scores = self._get_seg(level)(self._seg_params, carry)
-                sc = np.asarray(scores)[: len(gidx)]  # the ONLY transfer
-                level_pred = sc.argmax(axis=1)
+                h, lp, cf = self._get_seg(level)(self._seg_params, carry)
+                # the ONLY transfers: [n] predictions + [n] confidences
+                level_pred = np.asarray(lp)[: len(gidx)]
+                conf = np.asarray(cf)[: len(gidx)]
                 if level == self.num_levels - 1:
                     fire = np.ones(len(gidx), dtype=bool)
                 else:
-                    fire = sc.max(axis=1) > self.thresholds[level]
+                    fire = conf > self.thresholds[level]
                 preds[gidx[fire]] = level_pred[fire]
                 exit_level[gidx[fire]] = level
                 keep = ~fire
@@ -384,8 +487,8 @@ class SequentialInferencePipeline:
         carry = jnp.asarray(x)
         for level in range(self.num_levels):
             fn = self._get_seg(level)
-            h, scores = fn(self._seg_params, carry)  # compile + warm
-            _ = np.asarray(scores)
+            h, pred, _conf = fn(self._seg_params, carry)  # compile + warm
+            _ = np.asarray(pred)
             t0 = time.perf_counter()
             out = None
             for _ in range(iters):

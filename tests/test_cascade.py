@@ -237,6 +237,66 @@ def test_folded_engine_matches_bind_engine():
     assert (rb.exit_level == rf.exit_level).mean() >= 0.8
 
 
+def _make_knn_pipe(n_gal=30, n_val=16, num_classes=6, res=32, **kw):
+    from fast_image_recognition_tpu.cascade.engine import SequentialInferencePipeline
+    from fast_image_recognition_tpu.models import create_efficientnet, default_taps
+
+    model, variables = create_efficientnet("b0", 0, resolution=res)
+    taps = default_taps("b0")
+    rng = np.random.default_rng(3)
+    gal_images = rng.normal(size=(n_gal, res, res, 3)).astype(np.float32)
+    val_images = rng.normal(size=(n_val, res, res, 3)).astype(np.float32)
+    labels = rng.integers(0, num_classes, n_gal)
+
+    # per-level galleries from the backbone itself (the reference caches
+    # per-level train embeddings, sequential_inference.py:816-822); a
+    # throwaway knn pipe with placeholder galleries extracts them
+    # (level_embeddings never touches the head)
+    tmp = SequentialInferencePipeline(
+        model, variables, taps,
+        head_mode="knn",
+        galleries=[np.eye(2, dtype=np.float32)] * (len(taps) + 1),
+        gallery_labels=np.zeros(2, np.int64),
+        buckets=(8, 16, 32), **kw,
+    )
+    gal_levels = tmp.level_embeddings(gal_images)
+    pipe = SequentialInferencePipeline(
+        model, variables, taps,
+        head_mode="knn",
+        galleries=gal_levels,
+        gallery_labels=labels,
+        buckets=(8, 16, 32), **kw,
+    )
+    return pipe, gal_levels, labels, gal_images, val_images
+
+
+def test_knn_head_matches_sequential_knn_cascade():
+    """head_mode='knn' predict() must reproduce the standalone
+    sequential_knn_cascade policy (sequential_inference.py:483-508) run on
+    the same per-level embeddings."""
+    pipe, gal_levels, labels, _, val_images = _make_knn_pipe()
+    val_levels = pipe.level_embeddings(val_images)
+    want = sequential_knn_cascade(gal_levels, labels, val_levels, ratio=0.8)
+    got = pipe.predict(val_images)
+    np.testing.assert_array_equal(got.predictions, want.predictions)
+    np.testing.assert_array_equal(got.exit_level, want.exit_level)
+    # a real cascade: not everyone exits at level 0
+    assert 0.0 < got.break_counts[0] < 1.0 or got.break_counts[-1] > 0
+
+
+def test_knn_fused_matches_host_compaction():
+    pipe, _, _, gal_images, val_images = _make_knn_pipe()
+    pipe.calibrate(gal_images)  # fractions only; thresholds stay 0 (knn)
+    assert all(t == 0.0 for t in pipe.thresholds)
+    want = pipe.predict(val_images)
+    got = pipe.predict_fused(
+        val_images, capacities=[len(val_images)] * pipe.num_levels
+    )
+    np.testing.assert_array_equal(got.predictions, want.predictions)
+    np.testing.assert_array_equal(got.exit_level, want.exit_level)
+    assert got.forced_fraction == 0.0
+
+
 def test_segment_pipeline_on_pruned_backbone():
     """The cascade engine must run over a pruned model (SURVEY.md §7 step 7:
     exits over pruned-checkpoint ladders) — hidden_overrides + segments."""
