@@ -458,10 +458,35 @@ def bench_cascade(args) -> None:
         thresholds=[0.0] * (len(dims) - 1), engine="folded",
     )
     images = rng.normal(size=(args.batch, res, res, 3)).astype(np.float32)
-    # Calibrate thresholds to the median surviving max-score (the reference
-    # FAR-tunes per level, sequential_inference.py:609-631) — sizes the
-    # fused engine's per-level capacities from the survivor fractions.
-    pipe.calibrate(images[: min(args.batch, 256)])
+    if args.head == "knn":
+        # the reference's proposed sequential kNN rule
+        # (sequential_inference.py:483-508) as the fused exit head: the
+        # per-level galleries are the level embeddings of an enrolled set
+        # (100 identities x 4 images, extracted once with the same
+        # segments), and the ratio-margin confidence feeds the same
+        # threshold/compaction machinery as the SVC head.
+        n_id, per = 100, 4
+        gal_images = rng.normal(size=(n_id * per, res, res, 3)).astype(
+            np.float32
+        )
+        gal_labels = np.repeat(np.arange(n_id, dtype=np.int32), per)
+        gal_images += gal_labels[:, None, None, None].astype(np.float32) * 0.05
+        galleries = pipe.level_embeddings(gal_images)
+        pipe = SequentialInferencePipeline(
+            model, variables, taps,
+            head_mode="knn", galleries=galleries, gallery_labels=gal_labels,
+            ratio=0.8, engine="folded",
+        )
+        # quantile-calibrated margins give the same spread operating point
+        # as the linear bench (the raw margin-0 rule is degenerate on a
+        # synthetic workload: all-exit or none-exit)
+        pipe.calibrate(images[: min(args.batch, 256)], tune=True)
+    else:
+        # Calibrate thresholds to the median surviving max-score (the
+        # reference FAR-tunes per level, sequential_inference.py:609-631) —
+        # sizes the fused engine's per-level capacities from the survivor
+        # fractions.
+        pipe.calibrate(images[: min(args.batch, 256)])
     x = jnp.asarray(images)
     r = pipe.predict_fused(x)  # compile + warm
     key = next(iter(pipe._fused_fns))
@@ -492,8 +517,10 @@ def bench_cascade(args) -> None:
     _ = np.asarray(out)
     plain_ips = args.batch * args.iters / (time.perf_counter() - t0)
 
+    head_desc = "kNN d_min/0.8 exits" if args.head == "knn" else "SVC exits"
     _emit(
-        f"images/sec/chip (fused early-exit cascade, {len(dims)} levels, "
+        f"images/sec/chip (fused early-exit cascade, {head_desc}, "
+        f"{len(dims)} levels, "
         f"breaks={np.round(r.break_counts, 2).tolist()}, plain forward "
         f"{plain_ips:.0f} img/s)",
         ips,
@@ -611,6 +638,11 @@ def main() -> None:
     parser.add_argument(
         "--quant-compute", default="int8", choices=["int8", "bf16"],
         help="int8 scan contraction dtype (bf16 = upcast-in-VMEM fallback)",
+    )
+    parser.add_argument(
+        "--head", default="linear", choices=["linear", "knn"],
+        help="cascade config: exit-head rule (baked LinearSVC scores, or "
+        "the sequential kNN d_min/0.8 ratio rule)",
     )
     args = parser.parse_args()
 
