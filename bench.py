@@ -488,7 +488,7 @@ def bench_cascade(args) -> None:
         # fractions.
         pipe.calibrate(images[: min(args.batch, 256)])
     x = jnp.asarray(images)
-    r = pipe.predict_fused(x)  # compile + warm
+    r = pipe.predict_fused(x, slack=args.slack)  # compile + warm
     key = next(iter(pipe._fused_fns))
     fused = pipe._fused_fns[key]
     t0 = time.perf_counter()
@@ -643,6 +643,11 @@ def main() -> None:
         "--head", default="linear", choices=["linear", "knn"],
         help="cascade config: exit-head rule (baked LinearSVC scores, or "
         "the sequential kNN d_min/0.8 ratio rule)",
+    )
+    parser.add_argument(
+        "--slack", type=float, default=1.3,
+        help="cascade config: per-level capacity slack over the calibrated "
+        "survivor fractions (lower = fewer wasted lanes, more forced exits)",
     )
     args = parser.parse_args()
 
