@@ -75,21 +75,18 @@ def _normalize(x):
     return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
 
 
-def _planted_gallery(n: int, emb: "np.ndarray", rng, noise_frac: float = 0.2):
-    """Random normalized gallery with a perturbed copy of each query
-    embedding planted at a known row — the true 1-NN is well-defined
-    (recognition semantics: the gallery contains the identity) so
-    ``error_pct`` is measurable. The perturbation is scaled PER QUERY to
-    ``noise_frac`` of that query's distance to its nearest other query:
-    untrained-backbone embeddings nearly collapse to one direction, so a
-    fixed noise would swamp the inter-query separation and make the
-    "true" row not actually the nearest — this keeps each planted row the
-    unambiguous NN while still not being a bitwise duplicate."""
+def _perturbed_copies(emb: "np.ndarray", rng, noise_frac: float):
+    """Perturbed copy of each query embedding, to plant at a known gallery
+    row — the true 1-NN is then well-defined (recognition semantics: the
+    gallery contains the identity) so ``error_pct`` is measurable. The
+    perturbation is scaled PER QUERY to ``noise_frac`` of that query's
+    distance to its nearest other query: untrained-backbone embeddings
+    nearly collapse to one direction, so a fixed noise would swamp the
+    inter-query separation and make the "true" row not actually the
+    nearest — this keeps each planted row the unambiguous NN while still
+    not being a bitwise duplicate."""
     import numpy as np
 
-    dim = emb.shape[1]
-    gal = _normalize(rng.standard_normal((n, dim)).astype(np.float32))
-    true_idx = rng.choice(n, size=emb.shape[0], replace=False)
     d2 = (
         np.sum(emb * emb, 1)[:, None]
         + np.sum(emb * emb, 1)[None, :]
@@ -97,26 +94,23 @@ def _planted_gallery(n: int, emb: "np.ndarray", rng, noise_frac: float = 0.2):
     )
     np.fill_diagonal(d2, np.inf)
     r = np.sqrt(np.maximum(d2.min(axis=1), 1e-20))  # nearest-other-query
-    planted = _normalize(
+    return _normalize(
         emb
         + (noise_frac * r)[:, None]
         * _normalize(rng.standard_normal(emb.shape).astype(np.float32))
     )
-    gal[true_idx] = planted
-    return gal, true_idx
 
 
 def _planted_gallery_device(
     n: int, emb: "np.ndarray", seed: int = 1, noise_frac: float = 0.2
 ):
-    """Device-built planted gallery (same semantics as ``_planted_gallery``
-    but the [N, D] rows never exist on the host) — a multi-GB gallery
-    upload over the tunneled device costs minutes; building on device is
-    one dispatch. Returns (bf16 gallery [n_pad, D] device array, true_idx).
-    Rows are generated directly in bf16 and row-normalized with fp32
-    accumulation; planted rows are computed in fp32 exactly as the host
-    version. n_pad rounds up to the kernel tile (pad rows are masked by
-    n_valid everywhere)."""
+    """Device-built planted gallery (the [N, D] rows never exist on the
+    host) — a multi-GB gallery upload over the tunneled device costs
+    minutes; building on device is one dispatch. Returns (bf16 gallery
+    [n_pad, D] device array, true_idx). Rows are generated directly in
+    bf16 and row-normalized with fp32 accumulation; planted rows come from
+    ``_perturbed_copies`` in fp32. n_pad rounds up to the kernel tile (pad
+    rows are masked by n_valid everywhere)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -127,18 +121,7 @@ def _planted_gallery_device(
     true_idx = rng.choice(n, size=b, replace=False)
 
     if b:
-        d2 = (
-            np.sum(emb * emb, 1)[:, None]
-            + np.sum(emb * emb, 1)[None, :]
-            - 2.0 * emb @ emb.T
-        )
-        np.fill_diagonal(d2, np.inf)
-        r = np.sqrt(np.maximum(d2.min(axis=1), 1e-20))
-        planted = _normalize(
-            emb
-            + (noise_frac * r)[:, None]
-            * _normalize(rng.standard_normal(emb.shape).astype(np.float32))
-        )
+        planted = _perturbed_copies(emb, rng, noise_frac)
     else:  # plain gallery, nothing to plant (bf config makes its own queries)
         planted = emb
 

@@ -155,6 +155,7 @@ def main() -> None:
             ratio=0.8,
         )
         pipe.calibrate(tr_imgs[: min(len(tr_imgs), 128)])
+        pipe.predict_fused(va_imgs)  # compile + warm (untimed)
         r = pipe.predict_fused(va_imgs)
         report("fused kNN-exit engine (d_min/0.8)", r, va_y)
         print(
@@ -167,6 +168,7 @@ def main() -> None:
             thresholds=cascade.thresholds[:-1],
         )
         pipe_svc.calibrate(tr_imgs[: min(len(tr_imgs), 128)], tune=False)
+        pipe_svc.predict_fused(va_imgs)  # compile + warm (untimed)
         r = pipe_svc.predict_fused(va_imgs)
         report("fused SVC-exit engine (FAR<=1%)", r, va_y)
         print(

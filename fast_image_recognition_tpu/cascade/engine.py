@@ -368,7 +368,12 @@ class SequentialInferencePipeline:
                 )
                 gidx = gidx[order]
                 carry = jnp.take(h, order, axis=0)
-            return preds, exit_level, forced
+            # pack [preds | exit_level | forced] so the host needs exactly
+            # ONE transfer per batch (each fetch is its own RPC round-trip
+            # on a tunneled device)
+            return jnp.concatenate(
+                [preds, exit_level, forced[None]], axis=0
+            )
 
         return jax.jit(fused)
 
@@ -389,15 +394,18 @@ class SequentialInferencePipeline:
             tuple(capacities) if capacities is not None
             else self.capacities_for(b, slack=slack)
         )
-        key = (b, caps, x.shape[1:])
+        # thresholds are baked into the compiled program as constants — they
+        # must key the cache or recalibration would silently reuse stale ones
+        key = (b, caps, x.shape[1:], tuple(float(t) for t in self.thresholds))
         if key not in self._fused_fns:
             self._fused_fns[key] = self._build_fused(b, caps)
         t0 = time.perf_counter()
-        preds, exit_level, forced = self._fused_fns[key](self._seg_params, x)
-        preds = np.asarray(preds)  # the one transfer
-        exit_level = np.asarray(exit_level)
-        forced = int(forced)
+        packed = np.asarray(
+            self._fused_fns[key](self._seg_params, x)
+        )  # the one transfer
         elapsed = time.perf_counter() - t0
+        preds, exit_level = packed[:b], packed[b : 2 * b]
+        forced = int(packed[2 * b])
         counts = np.bincount(exit_level, minlength=self.num_levels) / b
         return PipelineResult(
             predictions=preds.astype(np.int64),

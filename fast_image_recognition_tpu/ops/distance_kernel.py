@@ -292,15 +292,20 @@ def tile_min_l2(
     tile instead of ``topk_l2``'s k iterative extraction passes, so cost is
     independent of how many candidates are taken downstream. The global
     1-NN is always the min of its own tile, so top-R over the tile mins is
-    an exact-NN-preserving candidate set of R spatially diverse rows.
+    an NN-preserving candidate set of R spatially diverse rows.
+
+    Precision contract: the MXU cross term always runs on bf16 operands
+    (fp32 inputs are downcast — that IS the kernel's speed), so NN
+    containment holds up to bf16 operand rounding (~0.4% near-ties) in
+    EVERY mode; downstream full-precision rescoring of the candidate rows
+    absorbs it (the e2e bench audits this — 100% measured agreement with
+    the fp32 scan at 1M rows). ``precise_scores`` selects only the
+    reduction/accumulation precision: ``False`` runs the kernel's
+    reduction passes in bf16 too (~25% faster at D=256) at slightly wider
+    near-tie loss.
 
     ``gsq``: precomputed ``gallery_sq_norms(...)`` — pass it when the same
-    gallery serves many calls to skip the norm pass.
-
-    ``precise_scores=False`` runs the kernel's reduction passes in bf16
-    (~25% faster at D=256): the exact-NN-containment guarantee then only
-    holds up to bf16 near-ties (~0.4%), which downstream full-precision
-    rescoring absorbs."""
+    gallery serves many calls to skip the norm pass."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     b, d = queries.shape
@@ -559,11 +564,12 @@ def topk_candidates_l2(
     precise_scores: bool = True,
 ) -> jax.Array:
     """Top-R candidate row indices [B, R] via the tile-min hierarchy:
-    the best row of each of the R best tiles. Contains the exact 1-NN by
-    construction (up to bf16 near-ties when ``precise_scores=False``); the
-    other R-1 rows are near-NN candidates from distinct gallery tiles (for
-    rescoring in a higher-fidelity space). O(N*D) MXU work +
-    O(B * N/tile_g) top-k — candidate count R is free."""
+    the best row of each of the R best tiles. Contains the exact 1-NN up
+    to bf16 operand rounding (see ``tile_min_l2``'s precision contract —
+    callers are expected to rescore the R rows in a higher-fidelity
+    space); the other R-1 rows are near-NN candidates from distinct
+    gallery tiles. O(N*D) MXU work + O(B * N/tile_g) top-k — candidate
+    count R is free."""
     d, i = tile_min_l2(
         queries,
         gallery,

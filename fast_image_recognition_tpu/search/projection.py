@@ -130,7 +130,7 @@ def _build_kd_tree(
         order = np.argsort(sub[:, dim])
         half = len(idx) // 2
         left_idx, right_idx = idx[order[:half]], idx[order[half:]]
-        val = float(data[order[half] if half < len(order) else order[-1], dim])
+        val = float(sub[order[half] if half < len(order) else order[-1], dim])
         if len(left_idx) == 0 or len(right_idx) == 0:
             return _KDNode(leaf=idx)
     else:

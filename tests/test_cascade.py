@@ -222,6 +222,20 @@ def test_fused_cascade_calibrated_capacities():
     assert got.forced_fraction <= 0.5
 
 
+def test_fused_cache_keys_on_thresholds():
+    """Recalibrating must not silently reuse a fused program compiled with
+    the OLD thresholds (regression: the cache key omitted them, so a
+    recalibration that left the capacities unchanged kept stale exits)."""
+    pipe, images = _make_pipe()
+    caps = [len(images)] * pipe.num_levels
+    pipe.thresholds = [-1e9] * (pipe.num_levels - 1)  # everyone exits at 0
+    first = pipe.predict_fused(images, capacities=caps)
+    assert (first.exit_level == 0).all()
+    pipe.thresholds = [1e9] * (pipe.num_levels - 1)  # nobody exits early
+    second = pipe.predict_fused(images, capacities=caps)
+    assert (second.exit_level == pipe.num_levels - 1).all()
+
+
 def test_folded_engine_matches_bind_engine():
     """engine='folded' segments (BN-folded functional path) produce the
     same exit decisions/predictions as the bind path at matched

@@ -94,6 +94,22 @@ def test_kdtree_checks_budget_honored(sets):
     )
 
 
+def test_kdtree_degenerate_split_duplicates():
+    """Duplicate-heavy galleries force the degenerate median-split path;
+    the split value must come from the SUBTREE's rows (regression: it was
+    read from the full dataset with a subtree-local position, poisoning
+    every non-root degenerate node)."""
+    rng = np.random.default_rng(0)
+    g = np.repeat(rng.normal(size=(50, 16)).astype(np.float32), 20, axis=0)
+    m = KDTreeMatcher(g)  # unlimited budget = exact
+    q = (g[::20] + 1e-3).astype(np.float32)
+    res = m.search(q)
+    dense = oracle_pairwise(q, g)
+    exact = dense.argmin(1)
+    # duplicates make index ties legal — compare by row value
+    assert np.all(np.isclose(g[res.indices], g[exact], atol=1e-6))
+
+
 def test_create_image_lists(tmp_path):
     from PIL import Image
 
