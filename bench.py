@@ -172,23 +172,20 @@ def _exact_fp32_nn(queries, gal, n_valid: int):
 
 
 def bench_e2e(args) -> None:
+    """Config 2: the RecognitionService product surface — folded extract +
+    fused 1-NN match (PCA candidates + full-D rescore, or exact) in one
+    jitted program per batch."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from fast_image_recognition_tpu.models import backbone_info, create_backbone
     from fast_image_recognition_tpu.models.fold import make_serving_fn
-    from fast_image_recognition_tpu.ops.distance_kernel import (
-        gallery_sq_norms,
-        topk_candidates_l2,
-        topk_l2,
-    )
-    from fast_image_recognition_tpu.ops.pca import fit_pca
+    from fast_image_recognition_tpu.serving import RecognitionService
     from fast_image_recognition_tpu.utils.flops import fn_flops
 
     info = backbone_info(args.variant)
     res = args.resolution or int(info["resolution"])
-    dim = int(info["embedding_dim"])
     model, variables = create_backbone(args.variant, 0, resolution=res)
     serve, sparams = make_serving_fn(
         model, variables, info, resolution=res, folded=True
@@ -206,82 +203,25 @@ def bench_e2e(args) -> None:
     gallery, true_idx = _planted_gallery_device(args.gallery, emb0)
     n = args.gallery
 
-    if args.match == "pca":
-        # candidate generation in the PCA-256 subspace (db_features.cpp:164
-        # extractPCA role), full-D bf16 rescore of the top-R candidates;
-        # the PCA basis is fit on a small host-fetched gallery sample
-        sample = np.asarray(
-            gallery[: min(n, 8192)].astype(jnp.float32), np.float32
-        )
-        pca = fit_pca(sample, num_components=args.pca_dim)
-        mu = jnp.asarray(pca.mean, jnp.float32)
-        w = jnp.asarray(pca.components.T, jnp.float32)  # [D, P]
-        # project the (already padded, bf16) gallery on device — one bf16
-        # matmul (fp32 would transiently materialize ~5 GB at 1M x 1280)
-        gal_pca = jax.jit(
-            lambda g: (
-                (g - mu.astype(jnp.bfloat16)) @ w.astype(jnp.bfloat16)
-            ).astype(jnp.bfloat16)
-        )(gallery)
-        rescore = int(args.rescore)
-        # |g_pca|^2 in kernel layout, computed ONCE (saves a full-gallery
-        # pass per match dispatch)
-        gal_sq = jax.jit(lambda g: gallery_sq_norms(g, n))(gal_pca)
-
-        def match(emb, gal_pca, gallery, gal_sq):
-            qp = (emb - mu) @ w
-            # hierarchical candidates: best row of each of the R best
-            # gallery tiles (contains the exact PCA-space NN; cost is
-            # independent of R, unlike topk_l2's k extraction passes)
-            cand = topk_candidates_l2(
-                qp, gal_pca, rescore, n_valid=n, gsq=gal_sq
-            )
-            rows = jnp.take(gallery, cand, axis=0)  # [B, R, D] bf16
-            cross = jnp.einsum(
-                "bd,brd->br", emb.astype(rows.dtype), rows,
-                preferred_element_type=jnp.float32,
-            )
-            rsq = jnp.einsum(
-                "brd,brd->br", rows, rows, preferred_element_type=jnp.float32
-            )
-            d = rsq - 2.0 * cross  # + |q|^2, constant per row
-            best = jnp.argmin(d, axis=1)
-            return jnp.take_along_axis(cand, best[:, None], 1)[:, 0]
-
-        match_flops = (
-            2.0 * args.batch * dim * args.pca_dim  # projection
-            + 2.0 * args.batch * n * args.pca_dim  # candidate kernel
-            + 2.0 * args.batch * rescore * dim * 2  # rescore contractions
-        )
-        match_desc = f"pca{args.pca_dim}+rescore{rescore}"
-        extra_args = (gal_pca, gallery, gal_sq)
-    else:
-
-        def match(emb, gallery):
-            _, idx = topk_l2(emb, gallery, k=1, n_valid=n)
-            return idx[:, 0]
-
-        match_flops = 2.0 * args.batch * n * dim
-        match_desc = "exact bf16"
-        extra_args = (gallery,)
-
-    def extract_and_match(sparams, images, *margs):
-        emb = serve(sparams, images)["embedding"].astype(jnp.float32)
-        emb = emb / jnp.maximum(
-            jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-30
-        )
-        return match(emb, *margs)
-
-    fn = jax.jit(extract_and_match)
+    service = RecognitionService(
+        model, variables, info, gallery,
+        n_valid=n, resolution=res, match=args.match,
+        pca_dim=args.pca_dim, rescore=args.rescore,
+        serving_fn=(serve, sparams),
+    )
+    match_desc = (
+        f"pca{service.pca_dim}+rescore{args.rescore}"
+        if args.match == "pca" else "exact bf16"
+    )
     backbone_flops = fn_flops(
         lambda v, im: serve(v, im)["embedding"], sparams, images
     )
-    flops = backbone_flops + match_flops
+    flops = backbone_flops + service.match_flops(args.batch)
 
-    idx_fast = np.asarray(fn(sparams, images, *extra_args))  # compile + warm
+    idx_fast = np.asarray(service.identify_device(images))  # compile + warm
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        out = fn(sparams, images, *extra_args)
+        out = service.identify_device(images)
     _ = np.asarray(out)
     sec = (time.perf_counter() - t0) / args.iters
     ips = args.batch / sec

@@ -39,3 +39,11 @@ from fast_image_recognition_tpu.config import (  # noqa: F401
     FrameworkConfig,
     MatcherConfig,
 )
+
+
+def __getattr__(name):  # lazy: serving pulls in jax + the model zoo
+    if name in ("RecognitionService", "build_service"):
+        from fast_image_recognition_tpu import serving
+
+        return getattr(serving, name)
+    raise AttributeError(name)

@@ -1,0 +1,68 @@
+"""RecognitionService: the fused extract+match serving surface.
+
+Covers the one-jit raw-images -> gallery-rows path the e2e bench ships
+(reference flow: qt_cpp/dnn_feature_extractor.py:127-128 feature dump +
+qt_cpp/main.cpp match, collapsed into one device program)."""
+
+import numpy as np
+import pytest
+
+from fast_image_recognition_tpu.serving import build_service
+
+
+@pytest.fixture(scope="module")
+def setup():
+    """Small b0 service over a gallery that CONTAINS the probe images'
+    own embeddings (planted rows), so the true 1-NN is known."""
+    service = None
+    rng = np.random.default_rng(0)
+    images = (rng.random((8, 32, 32, 3)) * 255).astype(np.float32)
+    # build with a throwaway gallery first to get embeddings cheaply
+    dim_probe = build_service(
+        "b0", np.eye(8, 1280, dtype=np.float32), resolution=32, match="exact"
+    )
+    emb = dim_probe.embed(images)
+    n = 512
+    gal = rng.normal(size=(n, emb.shape[1])).astype(np.float32)
+    gal /= np.linalg.norm(gal, axis=1, keepdims=True)
+    true_idx = rng.choice(n, size=len(images), replace=False)
+    gal[true_idx] = emb
+    labels = rng.integers(0, 10, n).astype(np.int32)
+    service = build_service(
+        "b0", gal, labels, resolution=32, match="pca", pca_dim=32, rescore=8,
+        pca_sample=256,
+    )
+    return service, images, gal, true_idx, labels
+
+
+def test_identify_finds_planted_rows(setup):
+    service, images, gal, true_idx, labels = setup
+    idx, lab = service.identify(images)
+    np.testing.assert_array_equal(idx, true_idx)
+    np.testing.assert_array_equal(lab, labels[true_idx])
+
+
+def test_pca_match_agrees_with_exact(setup):
+    service, images, gal, true_idx, labels = setup
+    exact = build_service(
+        "b0", gal, resolution=32, match="exact"
+    )
+    # same weights so embeddings match: reuse the pca service's params
+    exact.sparams = service.sparams
+    idx_pca, _ = service.identify(images)
+    idx_exact, _ = exact.identify(images)
+    np.testing.assert_array_equal(idx_pca, idx_exact)
+
+
+def test_embed_normalized(setup):
+    service, images, *_ = setup
+    emb = service.embed(images)
+    np.testing.assert_allclose(
+        np.linalg.norm(emb, axis=1), 1.0, rtol=1e-5
+    )
+
+
+def test_match_flops_positive(setup):
+    service, *_ = setup
+    assert service.match_flops(8) > 0
+    assert service.match_flops(16) == 2 * service.match_flops(8)
