@@ -58,6 +58,10 @@ class MatcherConfig:
     # Pallas kernel tiling.
     query_tile: int = 128
     gallery_tile: int = 1024
+    # Brute-force scan precision: 'fp32' (bf16 scan + fp32-precise pass),
+    # or 'int8' (quantized tile-min scan + exact bf16 rescore — half the
+    # HBM stream, 2x MXU peak; TPU-native extension, no reference analog).
+    precision: str = "fp32"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -63,7 +63,9 @@ def build_matcher(
     if method == "bf":
         from fast_image_recognition_tpu.search import BruteForceMatcher
 
-        return BruteForceMatcher(gallery, kind=cfg.distance)
+        return BruteForceMatcher(
+            gallery, kind=cfg.distance, precision=cfg.precision
+        )
     if method == "bf-sharded":
         from fast_image_recognition_tpu.parallel import ShardedGalleryMatcher
         from fast_image_recognition_tpu.parallel.mesh import gallery_mesh
