@@ -21,6 +21,11 @@ Match modes:
   fp32 scan at 1M rows).
 - ``match='exact'``: the fused brute-force kernel (ops/distance_kernel.py
   ``topk_l2``) over the full-D gallery.
+- ``match='sharded'``: the gallery shards on N across ``mesh``'s
+  ``gallery`` axis; every chip scans its HBM-resident slice with the same
+  kernel and the per-chip top-1 candidates merge with one ``all_gather``
+  over ICI (parallel/sharded_gallery.py) — the multi-chip scaling axis of
+  the BASELINE target, still one jitted program per batch.
 
 This is the library surface behind ``bench.py``'s e2e config.
 """
@@ -57,6 +62,7 @@ class RecognitionService:
         pca_sample: int = 8192,
         folded: bool = True,
         serving_fn=None,
+        mesh=None,
     ):
         import jax
         import jax.numpy as jnp
@@ -82,7 +88,17 @@ class RecognitionService:
                 folded=folded,
             )
 
-        if isinstance(gallery, jax.Array) and gallery.dtype == jnp.bfloat16:
+        if match == "sharded":
+            from fast_image_recognition_tpu.parallel.mesh import gallery_mesh
+            from fast_image_recognition_tpu.parallel.sharded_gallery import (
+                shard_gallery,
+            )
+
+            self.mesh = mesh if mesh is not None else gallery_mesh()
+            g = np.asarray(gallery, np.float32)
+            self.n_valid = int(n_valid if n_valid is not None else g.shape[0])
+            self.gallery, self._shard_valid = shard_gallery(g, self.mesh)
+        elif isinstance(gallery, jax.Array) and gallery.dtype == jnp.bfloat16:
             self.gallery = gallery  # already device/padded (bench path)
             self.n_valid = int(n_valid if n_valid is not None else gallery.shape[0])
         else:
@@ -117,7 +133,7 @@ class RecognitionService:
                 lambda g: gallery_sq_norms(g, self.n_valid)
             )(gal_pca)
             self.match_args: Tuple = (gal_pca, self.gallery, gal_sq)
-        elif match == "exact":
+        elif match in ("exact", "sharded"):
             self.match_args = (self.gallery,)
         else:
             raise ValueError(f"unknown match mode {match!r}")
@@ -138,6 +154,17 @@ class RecognitionService:
         if self.match == "exact":
             (gallery,) = margs
             _, idx = topk_l2(emb, gallery, k=1, n_valid=self.n_valid)
+            return idx[:, 0]
+        if self.match == "sharded":
+            from fast_image_recognition_tpu.parallel.sharded_gallery import (
+                sharded_topk_l2,
+            )
+
+            (gallery,) = margs
+            _, idx = sharded_topk_l2(
+                emb, gallery, self.mesh, k=1,
+                n_valid_per_shard=self._shard_valid,
+            )
             return idx[:, 0]
         gal_pca, gallery, gal_sq = margs
         qp = (emb - self._mu) @ self._w
@@ -195,7 +222,7 @@ class RecognitionService:
     def match_flops(self, batch: int) -> float:
         """Per-dispatch match FLOPs (the backbone dominates; see
         utils/flops.fn_flops for the extract side)."""
-        if self.match == "exact":
+        if self.match in ("exact", "sharded"):
             return 2.0 * batch * self.n_valid * self.dim
         return (
             2.0 * batch * self.dim * self.pca_dim

@@ -66,3 +66,14 @@ def test_match_flops_positive(setup):
     service, *_ = setup
     assert service.match_flops(8) > 0
     assert service.match_flops(16) == 2 * service.match_flops(8)
+
+
+def test_sharded_match_agrees_with_exact(setup):
+    """match='sharded' (8-way gallery shards + ICI top-k merge) returns
+    the same rows as the single-device exact path."""
+    service, images, gal, true_idx, labels = setup
+    sharded = build_service("b0", gal, labels, resolution=32, match="sharded")
+    sharded.sparams = service.sparams
+    idx, lab = sharded.identify(images)
+    np.testing.assert_array_equal(idx, true_idx)
+    np.testing.assert_array_equal(lab, labels[true_idx])
