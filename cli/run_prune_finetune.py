@@ -12,7 +12,6 @@ import time
 
 import numpy as np
 
-from common import add_dataset_args
 
 
 def synth_images(spec: str, seed: int):

@@ -32,7 +32,7 @@ This is the library surface behind ``bench.py``'s e2e config.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
