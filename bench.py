@@ -411,14 +411,24 @@ def bench_cascade(args) -> None:
         # fractions.
         pipe.calibrate(images[: min(args.batch, 256)])
     x = jnp.asarray(images)
-    r = pipe.predict_fused(x, slack=args.slack)  # compile + warm
-    key = next(iter(pipe._fused_fns))
-    fused = pipe._fused_fns[key]
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = fused(pipe._seg_params, x)
-    _ = np.asarray(out[0])
-    ips = args.batch * args.iters / (time.perf_counter() - t0)
+    if args.cascade_mode == "pooled":
+        # level-major cross-batch compaction: always-full buckets, exact
+        # sequential semantics, one [2, n_alive] fetch per level per pool
+        bucket = min(1024, args.batch)
+        r = pipe.predict_pooled(x, bucket=bucket, warmup=True)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            r = pipe.predict_pooled(x, bucket=bucket)
+        ips = args.batch * args.iters / (time.perf_counter() - t0)
+    else:
+        r = pipe.predict_fused(x, slack=args.slack)  # compile + warm
+        key = next(iter(pipe._fused_fns))
+        fused = pipe._fused_fns[key]
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fused(pipe._seg_params, x)
+        _ = np.asarray(out[0])
+        ips = args.batch * args.iters / (time.perf_counter() - t0)
 
     # accuracy vs exact sequential semantics (host-compaction path) and vs
     # the plain full forward — computed once, not timed
@@ -441,8 +451,9 @@ def bench_cascade(args) -> None:
     plain_ips = args.batch * args.iters / (time.perf_counter() - t0)
 
     head_desc = "kNN d_min/0.8 exits" if args.head == "knn" else "SVC exits"
+    mode_desc = "pooled" if args.cascade_mode == "pooled" else "fused"
     _emit(
-        f"images/sec/chip (fused early-exit cascade, {head_desc}, "
+        f"images/sec/chip ({mode_desc} early-exit cascade, {head_desc}, "
         f"{len(dims)} levels, "
         f"breaks={np.round(r.break_counts, 2).tolist()}, plain forward "
         f"{plain_ips:.0f} img/s)",
@@ -571,6 +582,12 @@ def main() -> None:
         "--slack", type=float, default=1.3,
         help="cascade config: per-level capacity slack over the calibrated "
         "survivor fractions (lower = fewer wasted lanes, more forced exits)",
+    )
+    parser.add_argument(
+        "--cascade-mode", default="fused", choices=["fused", "pooled"],
+        help="cascade config: one-dispatch fused program (per-batch "
+        "capacities) or level-major pooled compaction (always-full "
+        "buckets, one fetch per level per pool)",
     )
     args = parser.parse_args()
 

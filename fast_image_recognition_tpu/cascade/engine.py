@@ -7,7 +7,7 @@ inference runs the backbone *segment by segment*, stopping each image at the
 first exit whose max score clears the threshold (:1368-1394).
 
 TPU design: early exit conflicts with lockstep batching (SURVEY.md §7 hard
-part 3). Two batched execution strategies are provided:
+part 3). Three batched execution strategies are provided:
 
 - ``predict`` — host-decided batch compaction: after each segment only the
   [n, C] score matrix crosses to the host, which decides who exits;
@@ -25,6 +25,13 @@ part 3). Two batched execution strategies are provided:
   their threshold — is force-exited with the current level's prediction
   (counted in ``forced_fraction``); capacities carry slack so this is
   rare. This is the serving path that actually banks the early-exit FLOPs.
+
+- ``predict_pooled`` — level-major over a large image POOL: each level
+  runs the whole alive set in always-full ``bucket``-row dispatches, with
+  survivors compacted ACROSS the pool (not per batch). Zero slack waste,
+  zero forced exits, exact sequential semantics, one fetch per level per
+  pool — the production shape when requests can be pooled; ``predict_fused``
+  remains the latency shape for a single in-flight batch.
 
 Segment engines: ``engine='bind'`` (default) runs segments through the
 stock module (exact parity with ``model.apply``); ``engine='folded'`` runs
@@ -413,6 +420,90 @@ class SequentialInferencePipeline:
             break_counts=counts,
             ms_per_image=1000.0 * elapsed / b,
             forced_fraction=forced / b,
+        )
+
+    # ------------------------------------------------------------------ #
+    # level-major pooled cascade (cross-batch compaction)                 #
+    # ------------------------------------------------------------------ #
+
+    def predict_pooled(
+        self, images, bucket: int = 1024, warmup: bool = False
+    ) -> PipelineResult:
+        """Level-major sequential inference over an image POOL.
+
+        ``predict_fused`` sizes each level at calibrated capacity + slack
+        PER BATCH — the slack lanes and the 64-row rounding are pure waste,
+        and overflow force-exits. Here the whole pool runs level by level:
+        all alive images are compacted ACROSS the pool into always-full
+        ``bucket``-row dispatches, so lane waste is < bucket/n_alive per
+        level, no image is ever force-exited, and the exit decisions are
+        exactly ``predict``'s sequential semantics. Host traffic is ONE
+        [2, n_alive] fetch per LEVEL per pool (vs per batch) — the
+        production serving shape when requests can be pooled; activations
+        for the full alive set stay device-resident between levels (size
+        the pool to HBM: level-0 output dominates at ~H*W*C per image).
+
+        Reference semantics: sequential_inference.py:1368-1394, with the
+        compaction amortized over the pool instead of per image."""
+        import jax
+
+        x = images if isinstance(images, jax.Array) else jnp.asarray(
+            np.asarray(images, np.float32)
+        )
+        n = int(x.shape[0])
+        preds = np.zeros(n, dtype=np.int64)
+        exit_level = np.full(n, self.num_levels - 1, dtype=np.int64)
+        alive = np.arange(n)  # pool-global ids of rows in `carry` order
+        carry = x
+        if warmup:  # compile every (level, n_pad) program untimed
+            self.predict_pooled(images, bucket=bucket, warmup=False)
+
+        t0 = time.perf_counter()
+        for level in range(self.num_levels):
+            final = level == self.num_levels - 1
+            seg = self._get_seg(level)
+            n_alive = len(alive)
+            # fixed [bucket]-row dispatch shape: one compile per level,
+            # tail waste < bucket rows per level per pool
+            n_pad = _round_up(max(n_alive, 1), bucket)
+            if int(carry.shape[0]) != n_pad:
+                pad = jnp.zeros(
+                    (n_pad - int(carry.shape[0]),) + tuple(carry.shape[1:]),
+                    carry.dtype,
+                )
+                carry = jnp.concatenate([carry, pad], axis=0)
+            hs, out_rows = [], []
+            for s in range(0, n_pad, bucket):
+                h, lp, cf = seg(self._seg_params, carry[s : s + bucket])
+                hs.append(h)
+                out_rows.append(
+                    jnp.stack([lp.astype(jnp.float32), cf], axis=0)
+                )
+            # ONE [2, n_alive] fetch for the whole pool at this level
+            packed = np.asarray(jnp.concatenate(out_rows, axis=1))
+            level_pred = packed[0, :n_alive].astype(np.int64)
+            conf = packed[1, :n_alive]
+            fire = (
+                np.ones(n_alive, dtype=bool)
+                if final
+                else conf > self.thresholds[level]
+            )
+            preds[alive[fire]] = level_pred[fire]
+            exit_level[alive[fire]] = level
+            if final or not (~fire).any():
+                break
+            keep = np.nonzero(~fire)[0]
+            alive = alive[keep]
+            h_all = hs[0] if len(hs) == 1 else jnp.concatenate(hs, axis=0)
+            carry = jnp.take(h_all, jnp.asarray(keep), axis=0)
+        elapsed = time.perf_counter() - t0
+
+        counts = np.bincount(exit_level, minlength=self.num_levels) / n
+        return PipelineResult(
+            predictions=preds,
+            exit_level=exit_level,
+            break_counts=counts,
+            ms_per_image=1000.0 * elapsed / n,
         )
 
     # ------------------------------------------------------------------ #

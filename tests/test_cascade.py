@@ -222,6 +222,20 @@ def test_fused_cascade_calibrated_capacities():
     assert got.forced_fraction <= 0.5
 
 
+def test_pooled_cascade_matches_host_compaction():
+    """predict_pooled (level-major cross-batch compaction) must reproduce
+    predict()'s sequential semantics exactly, across bucket sizes that
+    force multi-chunk levels and tail padding."""
+    pipe, images = _make_pipe()
+    pipe.calibrate(images, quantile=0.5)
+    want = pipe.predict(images)
+    for bucket in (8, 16, 64):
+        got = pipe.predict_pooled(images, bucket=bucket)
+        np.testing.assert_array_equal(got.predictions, want.predictions)
+        np.testing.assert_array_equal(got.exit_level, want.exit_level)
+        np.testing.assert_allclose(got.break_counts, want.break_counts)
+
+
 def test_fused_cache_keys_on_thresholds():
     """Recalibrating must not silently reuse a fused program compiled with
     the OLD thresholds (regression: the cache key omitted them, so a
