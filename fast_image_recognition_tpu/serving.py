@@ -211,10 +211,15 @@ class RecognitionService:
         import jax
         import jax.numpy as jnp
 
-        fn = jax.jit(
-            lambda v, im: self.serve(v, im)["embedding"].astype(jnp.float32)
-        )
-        emb = np.asarray(fn(self.sparams, images), np.float32)
+        if not hasattr(self, "_embed_fn"):
+            # cache the jitted fn: a fresh lambda per call would miss
+            # jax's jit cache and recompile every time
+            self._embed_fn = jax.jit(
+                lambda v, im: self.serve(v, im)["embedding"].astype(
+                    jnp.float32
+                )
+            )
+        emb = np.asarray(self._embed_fn(self.sparams, images), np.float32)
         return emb / np.maximum(
             np.linalg.norm(emb, axis=1, keepdims=True), 1e-30
         )
