@@ -21,6 +21,11 @@ Match modes:
   fp32 scan at 1M rows).
 - ``match='exact'``: the fused brute-force kernel (ops/distance_kernel.py
   ``topk_l2``) over the full-D gallery.
+- ``match='int8'``: per-row symmetric int8 gallery scan at 2x the MXU
+  rate and half the HBM stream (``topk_l2_quant``), then an exact bf16
+  rescore of the top-tile candidates — the quantized rung of the serving
+  ladder (ops/quant.py; no reference counterpart, its scalar loops are
+  bandwidth-bound either way).
 - ``match='sharded'``: the gallery shards on N across ``mesh``'s
   ``gallery`` axis; every chip scans its HBM-resident slice with the same
   kernel and the per-chip top-1 candidates merge with one ``all_gather``
@@ -133,6 +138,20 @@ class RecognitionService:
                 lambda g: gallery_sq_norms(g, self.n_valid)
             )(gal_pca)
             self.match_args: Tuple = (gal_pca, self.gallery, gal_sq)
+        elif match == "int8":
+            from fast_image_recognition_tpu.ops.distance_kernel import (
+                quant_gallery_scales,
+            )
+            from fast_image_recognition_tpu.ops.quant import quantize_rows
+
+            gal_q, scales = jax.jit(quantize_rows)(self.gallery)
+            gsq = jax.jit(
+                lambda g: gallery_sq_norms(g, self.n_valid)
+            )(self.gallery)
+            gsc = jax.jit(
+                lambda s: quant_gallery_scales(s, self.n_valid)
+            )(scales)
+            self.match_args = (gal_q, gsq, gsc, self.gallery)
         elif match in ("exact", "sharded"):
             self.match_args = (self.gallery,)
         else:
@@ -149,11 +168,19 @@ class RecognitionService:
         from fast_image_recognition_tpu.ops.distance_kernel import (
             topk_candidates_l2,
             topk_l2,
+            topk_l2_quant,
         )
 
         if self.match == "exact":
             (gallery,) = margs
             _, idx = topk_l2(emb, gallery, k=1, n_valid=self.n_valid)
+            return idx[:, 0]
+        if self.match == "int8":
+            gal_q, gsq, gsc, gallery = margs
+            _, idx = topk_l2_quant(
+                emb, gal_q, gsq, gsc, gallery, k=1,
+                r=min(self.rescore, 16),
+            )
             return idx[:, 0]
         if self.match == "sharded":
             from fast_image_recognition_tpu.parallel.sharded_gallery import (
@@ -227,7 +254,8 @@ class RecognitionService:
     def match_flops(self, batch: int) -> float:
         """Per-dispatch match FLOPs (the backbone dominates; see
         utils/flops.fn_flops for the extract side)."""
-        if self.match in ("exact", "sharded"):
+        if self.match in ("exact", "sharded", "int8"):
+            # int8's scan halves wall-clock per FLOP, not the FLOP count
             return 2.0 * batch * self.n_valid * self.dim
         return (
             2.0 * batch * self.dim * self.pca_dim

@@ -68,6 +68,18 @@ def test_match_flops_positive(setup):
     assert service.match_flops(16) == 2 * service.match_flops(8)
 
 
+def test_int8_match_finds_planted_rows(setup):
+    """match='int8' (quantized scan + exact bf16 rescore) recovers the
+    planted true rows — int8 rounding only perturbs the candidate scan,
+    and the rescore is exact."""
+    service, images, gal, true_idx, labels = setup
+    q = build_service("b0", gal, labels, resolution=32, match="int8")
+    q.sparams = service.sparams
+    idx, lab = q.identify(images)
+    np.testing.assert_array_equal(idx, true_idx)
+    np.testing.assert_array_equal(lab, labels[true_idx])
+
+
 def test_sharded_match_agrees_with_exact(setup):
     """match='sharded' (8-way gallery shards + ICI top-k merge) returns
     the same rows as the single-device exact path."""
