@@ -209,10 +209,11 @@ def bench_e2e(args) -> None:
         pca_dim=args.pca_dim, rescore=args.rescore,
         serving_fn=(serve, sparams),
     )
-    match_desc = (
-        f"pca{service.pca_dim}+rescore{args.rescore}"
-        if args.match == "pca" else "exact bf16"
-    )
+    match_desc = {
+        "pca": f"pca{args.pca_dim}+rescore{args.rescore}",
+        "exact": "exact bf16",
+        "int8": "int8 scan+rescore",
+    }[args.match]
     backbone_flops = fn_flops(
         lambda v, im: serve(v, im)["embedding"], sparams, images
     )
@@ -555,8 +556,9 @@ def main() -> None:
     parser.add_argument(
         "--match",
         default="pca",
-        choices=["pca", "exact"],
-        help="e2e match path: pca candidates + full-D rescore, or exact",
+        choices=["pca", "exact", "int8"],
+        help="e2e match path: pca candidates + full-D rescore, exact, or "
+        "int8 quantized scan + exact rescore",
     )
     # 128-d candidate projection + 48-tile full-D rescore: measured best
     # e2e operating point (candidate argmin epilogue is the kernel floor,
