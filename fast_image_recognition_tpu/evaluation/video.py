@@ -124,8 +124,12 @@ def make_video_fusion_fn(
     g = jax.device_put(jnp.asarray(gallery, jnp.float32))
     gl = jax.device_put(jnp.asarray(gallery_labels))
 
+    # g/gl are threaded as jit ARGUMENTS: a closure-captured device array
+    # is baked into the lowered HLO as a literal, which re-serializes the
+    # gallery into the compile payload (and the tunneled remote-compile
+    # endpoint rejects gallery-sized bodies outright — HTTP 413).
     @jax.jit
-    def fn(probes, frame_video):
+    def fn(g, gl, probes, frame_video):
         d = pairwise_distances(probes.astype(jnp.float32), g)
         b = d.shape[0]
         cmin = jnp.full((b, num_classes), 1e30)
@@ -137,7 +141,7 @@ def make_video_fusion_fn(
         )
         return jnp.argmax(video_logp, axis=1)
 
-    return fn
+    return lambda probes, frame_video: fn(g, gl, probes, frame_video)
 
 
 def video_log_posterior_fusion(

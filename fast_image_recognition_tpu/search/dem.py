@@ -123,10 +123,19 @@ def select_pivots_device(
     num = max(num, min_pivots)
     num = min(num, max_pivots, n)
     labels_d = jax.device_put(jnp.asarray(np.asarray(labels), jnp.int32))
-    gal_sq = jnp.sum(jnp.square(gallery.astype(jnp.float32)), axis=1)  # [N]
 
     @jax.jit
-    def step(p_idx, cum_far, chosen):
+    def sqnorms(g):
+        return jnp.sum(jnp.square(g.astype(jnp.float32)), axis=1)  # [N]
+
+    gal_sq = sqnorms(gallery)
+
+    # NB: gallery/gal_sq/labels are explicit ARGUMENTS, not closure
+    # captures — a jit-captured device array is baked into the lowered HLO
+    # as a literal, and the tunneled remote-compile endpoint rejects
+    # request bodies at gallery scale (HTTP 413 at 300 MB+).
+    @jax.jit
+    def step(gallery, gal_sq, labels_d, p_idx, cum_far, chosen):
         pf = gallery[p_idx]  # [D] storage dtype
         cross = jnp.einsum(
             "nd,d->n", gallery, pf, preferred_element_type=jnp.float32
@@ -147,7 +156,9 @@ def select_pivots_device(
     cum_far = jnp.zeros((n,), jnp.float32)
     rows, other_mins, idxs = [], [], [p_idx]
     for ii in range(num):
-        d, om, cum_far, chosen, nxt = step(p_idx, cum_far, chosen)
+        d, om, cum_far, chosen, nxt = step(
+            gallery, gal_sq, labels_d, p_idx, cum_far, chosen
+        )
         rows.append(d)
         other_mins.append(om)
         if ii < num - 1:
@@ -205,9 +216,18 @@ def _dem_search(
 
     # --- likelihood ranking (ann.cpp:453-461, 469-470) ----------------------
     # L[b, n] = sum_p (d_qp[b,p] - P[p,n])^2, one matmul via expansion.
+    # The expansion cancels ~|d_qp|^2+|P|^2 (~256) down to a ~0.1 signal, so
+    # the cross term MUST be computed with fp32 multiplications: the MXU's
+    # default fp32-matmul precision is bf16 multiplies, whose ~0.4% rounding
+    # is 10x the signal and randomizes the candidate ranking (measured: the
+    # true match drops from rank 0 to rank 200-30,000 at batch>=8, where XLA
+    # switches from VPU fp32 to MXU bf16). P<=32 makes the 6-pass HIGHEST
+    # matmul free relative to the rest of the search.
     qp_sq = jnp.sum(d_qp * d_qp, axis=1, keepdims=True)  # [B, 1]
     pm_sq = jnp.sum(p_matrix * p_matrix, axis=0, keepdims=True)  # [1, N]
-    cross = d_qp @ p_matrix  # [B, N] MXU
+    cross = jnp.einsum(
+        "bp,pn->bn", d_qp, p_matrix, precision=jax.lax.Precision.HIGHEST
+    )  # [B, N] MXU
     lik = qp_sq + pm_sq - 2.0 * cross
     # pivots were already probed — exclude from the candidate ranking
     pivot_mask = jnp.zeros((n,), jnp.bool_).at[pivot_idx].set(True)
@@ -288,7 +308,12 @@ def _dem_search_gather(
 
     qp_sq = jnp.sum(d_qp * d_qp, axis=1, keepdims=True)
     pm_sq = jnp.sum(p_matrix * p_matrix, axis=0, keepdims=True)
-    lik = qp_sq + pm_sq - 2.0 * d_qp @ p_matrix  # [B, N]
+    # fp32 multiplies are REQUIRED here — see the likelihood-cancellation
+    # note in _dem_search_exact (bf16 MXU rounding at batch>=8 randomizes
+    # the ranking the whole gather path depends on).
+    lik = qp_sq + pm_sq - 2.0 * jnp.einsum(
+        "bp,pn->bn", d_qp, p_matrix, precision=jax.lax.Precision.HIGHEST
+    )  # [B, N]
     pivot_mask = jnp.zeros((n,), jnp.bool_).at[pivot_idx].set(True)
     lik = jnp.where(pivot_mask[None, :], BIG, lik)
 

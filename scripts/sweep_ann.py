@@ -49,24 +49,30 @@ def _time_queued(fn, fetch, iters: int) -> float:
     return (time.perf_counter() - t0) / iters
 
 
-def _scan_searches(search_fn, pick, probes_stack):
+def _scan_searches(search_fn, pick, probes_stack, *operands):
     """One jit dispatch running K sequential searches (lax.scan) — the
     tunneled link costs ~10 ms of RPC per dispatch, which would floor every
     sub-10ms config at the same q/s; a production TPU host dispatches in
     ~100 us. Scanning K searches inside one dispatch amortizes the RPC so
     the measurement reflects device throughput. Returns a jitted
-    () -> [K, B] int32 predictions thunk."""
+    () -> [K, B] int32 predictions thunk.
+
+    ``operands`` are the big device arrays (gallery, index tables) the
+    search touches: they MUST be threaded as jit arguments — a device
+    array captured by closure is baked into the lowered HLO as a literal,
+    and the tunneled remote-compile endpoint rejects gallery-sized request
+    bodies (HTTP 413)."""
     import jax
 
     @jax.jit
-    def run(pstack):
+    def run(pstack, *ops):
         def body(carry, p):
-            return carry, pick(search_fn(p))
+            return carry, pick(search_fn(p, *ops))
 
         _, idxs = jax.lax.scan(body, 0, pstack)
         return idxs
 
-    return lambda: run(probes_stack)
+    return lambda: run(probes_stack, *operands)
 
 
 def _inner_for(batch: int) -> int:
@@ -178,14 +184,15 @@ def main() -> None:
 
             # brute force at this batch (budget-independent)
             bf_run = _scan_searches(
-                lambda q: topk_l2(q, g, k=1, n_valid=n),
+                lambda q, gal: topk_l2(q, gal, k=1, n_valid=n),
                 lambda o: o[1][:, 0],
                 pstack,
+                g,
             )
             bf_sec = _time_queued(bf_run, lambda o: o, iters) / inner
             bf_err = err_pct(bf_run())
 
-            for frac in [float(x) for x in args.budgets.split(",")]:
+            for frac in [float(x) for x in args.budgets.split(",") if x]:
                 budget = max(1, int(frac * n))
                 gather_bytes = b * budget * args.dim * 2
                 base = {
@@ -205,8 +212,22 @@ def main() -> None:
                         f.write(json.dumps(base) + "\n")
                     continue
                 matcher.set_budget(budget)
+                from fast_image_recognition_tpu.search.dem import (
+                    _dem_search_gather,
+                )
+
+                thr = float(matcher.index.threshold)
+                bdg = matcher.budget
                 dem_run = _scan_searches(
-                    matcher.search_device, lambda o: o[0], pstack
+                    lambda q, gal, pf, pm, pi, _t=thr, _b=bdg: (
+                        _dem_search_gather(q, gal, pf, pm, pi, jnp.float32(_t), _b)
+                    ),
+                    lambda o: o[0],
+                    pstack,
+                    matcher.gallery,
+                    matcher._pivot_feats,
+                    matcher._p_matrix,
+                    matcher._pivot_idx,
                 )
                 dem_sec = _time_queued(dem_run, lambda o: o, iters) / inner
                 dem_err = err_pct(dem_run())
@@ -228,13 +249,28 @@ def main() -> None:
                     f.write(json.dumps(rec) + "\n")
 
             if sw is not None:
+                from fast_image_recognition_tpu.search.small_world import (
+                    _sw_search,
+                )
+
                 entries = sw._entry_ids(b)
+                beam = min(sw.beam, sw._n)
                 for frac in [float(x) for x in args.sw_budgets.split(",")]:
                     sw.set_budget(max(1, int(frac * n)))
+                    max_steps = sw.budget + beam * int(sw.neighbors.shape[1]) + 8
                     sw_run = _scan_searches(
-                        lambda q: sw.search_device(q, entries),
+                        lambda q, gal, gsq, nbrs, ent, _b=sw.budget, _m=max_steps: (
+                            _sw_search(
+                                q, gal, gsq, nbrs, ent,
+                                beam=beam, budget=_b, max_steps=_m,
+                            )
+                        ),
                         lambda o: o[0],
                         pstack,
+                        sw.gallery,
+                        sw.gallery_sqnorm,
+                        sw.neighbors,
+                        entries,
                     )
                     sw_sec = (
                         _time_queued(sw_run, lambda o: o, max(2, iters // 4))
