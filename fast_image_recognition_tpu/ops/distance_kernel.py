@@ -40,11 +40,17 @@ MAX_QUERY_BLOCK = 1024
 
 def _masked_argmin(d: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """(min, argmin) along axis=1 of [TQ, TG] without lax.argmin (keeps the
-    lowering friendly for Mosaic): equality mask + iota min."""
+    lowering friendly for Mosaic): equality mask + iota min. The equality
+    compare runs on fp32 operands even for bf16 ``d``: a bf16 compare
+    yields an i1 vector in Mosaic's (16, 128) bf16 tiling which cannot be
+    relayouted to select against the (8, 128)-tiled int32 iota ("Invalid
+    relayout ... vector<...xi1>"); upcasting just the compare keeps the
+    mask in the 32-bit layout. Exact — upcasts preserve bf16 values."""
     tq, tg = d.shape
     mins = jnp.min(d, axis=1, keepdims=True)
     cols = jax.lax.broadcasted_iota(jnp.int32, (tq, tg), 1)
-    arg = jnp.min(jnp.where(d == mins, cols, _INT_BIG), axis=1)
+    eq = d.astype(jnp.float32) == mins.astype(jnp.float32)
+    arg = jnp.min(jnp.where(eq, cols, _INT_BIG), axis=1)
     return mins[:, 0], arg
 
 
@@ -552,6 +558,23 @@ def topk_l2_quant(
     return -neg_d / dim, idx
 
 
+def _select_tiles(d: jax.Array, r: int, select: str) -> jax.Array:
+    """[B, n_tiles] tile-min distances -> [B, R] chosen tile columns.
+
+    ``select='approx'`` uses ``lax.approx_min_k`` (TPU PartialReduce op) —
+    the DEM path's measured lesson applies here too: XLA's exact top-k
+    lowers to a per-row sort that can rival the whole O(N*D) scan at
+    [1024, 1024]. recall_target=0.99 is per-element of the top-R; the
+    1-NN's own tile ranks #1 by a wide margin on recognition workloads,
+    so candidate-set misses land on the far tail of the R candidates
+    (the e2e bench audits agreement vs the fp32 scan either way)."""
+    if select == "approx":
+        _, tile_sel = jax.lax.approx_min_k(d, r, recall_target=0.99)
+        return tile_sel
+    _, tile_sel = jax.lax.top_k(-d, r)
+    return tile_sel
+
+
 def topk_candidates_l2(
     queries: jax.Array,
     gallery: jax.Array,
@@ -562,6 +585,7 @@ def topk_candidates_l2(
     interpret: Optional[bool] = None,
     gsq: Optional[jax.Array] = None,
     precise_scores: bool = True,
+    select: str = "exact",
 ) -> jax.Array:
     """Top-R candidate row indices [B, R] via the tile-min hierarchy:
     the best row of each of the R best tiles. Contains the exact 1-NN up
@@ -569,7 +593,8 @@ def topk_candidates_l2(
     callers are expected to rescore the R rows in a higher-fidelity
     space); the other R-1 rows are near-NN candidates from distinct
     gallery tiles. O(N*D) MXU work + O(B * N/tile_g) top-k — candidate
-    count R is free."""
+    count R is free. ``select`` picks the tile-selection op (see
+    ``_select_tiles``)."""
     d, i = tile_min_l2(
         queries,
         gallery,
@@ -580,7 +605,36 @@ def topk_candidates_l2(
         precise_scores=precise_scores,
     )
     r = min(r, d.shape[1])
-    _, tile_sel = jax.lax.top_k(-d, r)  # [B, R] tile ids
+    tile_sel = _select_tiles(d, r, select)  # [B, R] tile ids
+    return jnp.take_along_axis(i, tile_sel, axis=1)
+
+
+def topk_candidates_l2_quant(
+    queries: jax.Array,
+    gallery_q: jax.Array,
+    gsq_rows: jax.Array,
+    gsc_rows: jax.Array,
+    r: int,
+    *,
+    tile_g: int = 1024,
+    interpret: Optional[bool] = None,
+    compute: str = "int8",
+    select: str = "exact",
+) -> jax.Array:
+    """``topk_candidates_l2`` over an int8-quantized gallery: half the HBM
+    stream and 2x the MXU rate in the scan; candidate containment holds up
+    to int8 rounding near-ties, absorbed by the caller's exact rescore."""
+    d, i = tile_min_l2_quant(
+        queries,
+        gallery_q,
+        gsq_rows,
+        gsc_rows,
+        tile_g=tile_g,
+        interpret=interpret,
+        compute=compute,
+    )
+    r = min(r, d.shape[1])
+    tile_sel = _select_tiles(d, r, select)
     return jnp.take_along_axis(i, tile_sel, axis=1)
 
 

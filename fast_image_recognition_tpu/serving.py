@@ -63,6 +63,8 @@ class RecognitionService:
         match: str = "pca",
         pca_dim: int = 128,
         rescore: int = 48,
+        pca_scan: str = "f32",
+        select: str = "exact",
         n_valid: Optional[int] = None,
         pca_sample: int = 8192,
         folded: bool = True,
@@ -137,7 +139,27 @@ class RecognitionService:
             gal_sq = jax.jit(
                 lambda g: gallery_sq_norms(g, self.n_valid)
             )(gal_pca)
-            self.match_args: Tuple = (gal_pca, self.gallery, gal_sq)
+            self.pca_scan = pca_scan
+            self.select = select
+            if pca_scan == "int8":
+                # quantized candidate scan: half the HBM stream, 2x MXU
+                # rate; the full-D bf16 rescore below absorbs int8 rounding
+                from fast_image_recognition_tpu.ops.distance_kernel import (
+                    quant_gallery_scales,
+                )
+                from fast_image_recognition_tpu.ops.quant import quantize_rows
+
+                gal_pca_q, pscales = jax.jit(quantize_rows)(
+                    gal_pca.astype(jnp.float32)
+                )
+                psc = jax.jit(
+                    lambda s: quant_gallery_scales(s, self.n_valid)
+                )(pscales)
+                self.match_args: Tuple = (
+                    gal_pca_q, psc, self.gallery, gal_sq
+                )
+            else:
+                self.match_args = (gal_pca, self.gallery, gal_sq)
         elif match == "int8":
             from fast_image_recognition_tpu.ops.distance_kernel import (
                 quant_gallery_scales,
@@ -193,11 +215,24 @@ class RecognitionService:
                 n_valid_per_shard=self._shard_valid,
             )
             return idx[:, 0]
-        gal_pca, gallery, gal_sq = margs
         qp = (emb - self._mu) @ self._w
-        cand = topk_candidates_l2(
-            qp, gal_pca, self.rescore, n_valid=self.n_valid, gsq=gal_sq
-        )
+        if self.pca_scan == "int8":
+            from fast_image_recognition_tpu.ops.distance_kernel import (
+                topk_candidates_l2_quant,
+            )
+
+            gal_pca_q, psc, gallery, gal_sq = margs
+            cand = topk_candidates_l2_quant(
+                qp, gal_pca_q, gal_sq, psc, self.rescore,
+                select=self.select,
+            )
+        else:
+            gal_pca, gallery, gal_sq = margs
+            cand = topk_candidates_l2(
+                qp, gal_pca, self.rescore, n_valid=self.n_valid, gsq=gal_sq,
+                precise_scores=(self.pca_scan != "bf16"),
+                select=self.select,
+            )
         rows = jnp.take(gallery, cand, axis=0)  # [B, R, D] bf16
         cross = jnp.einsum(
             "bd,brd->br", emb.astype(rows.dtype), rows,

@@ -80,6 +80,35 @@ def test_int8_match_finds_planted_rows(setup):
     np.testing.assert_array_equal(lab, labels[true_idx])
 
 
+@pytest.mark.parametrize("pca_scan", ["bf16", "int8"])
+def test_pca_scan_variants_find_planted_rows(setup, pca_scan):
+    """The cheaper candidate-scan precisions (bf16 reduction passes /
+    int8 quantized gallery) must still recover the planted rows — the
+    full-D exact rescore absorbs scan rounding."""
+    service, images, gal, true_idx, labels = setup
+    v = build_service(
+        "b0", gal, labels, resolution=32, match="pca", pca_dim=32,
+        rescore=8, pca_sample=256, pca_scan=pca_scan,
+    )
+    v.sparams = service.sparams
+    idx, lab = v.identify(images)
+    np.testing.assert_array_equal(idx, true_idx)
+    np.testing.assert_array_equal(lab, labels[true_idx])
+
+
+def test_pca_approx_select_finds_planted_rows(setup):
+    """select='approx' (lax.approx_min_k tile selection) keeps the planted
+    1-NN in the candidate set — its tile ranks #1 by a wide margin."""
+    service, images, gal, true_idx, labels = setup
+    v = build_service(
+        "b0", gal, labels, resolution=32, match="pca", pca_dim=32,
+        rescore=8, pca_sample=256, select="approx",
+    )
+    v.sparams = service.sparams
+    idx, _ = v.identify(images)
+    np.testing.assert_array_equal(idx, true_idx)
+
+
 def test_sharded_match_agrees_with_exact(setup):
     """match='sharded' (8-way gallery shards + ICI top-k merge) returns
     the same rows as the single-device exact path."""
