@@ -36,6 +36,17 @@ sequential algorithm would have probed. The accuracy/%checked trade-off
 (what the reference's experiments measure) is exactly preserved; wall-clock
 savings on TPU come instead from the budget-limited gather variant
 (``probe_mode='gather'``) when budget << N.
+
+Measured crossover vs the fused brute-force kernel (TPU v5e, D=1536,
+class-clustered galleries, benchmarks/ann_crossover_r3.jsonl, 0% label
+error at every point — the early exit stops after ~0.003-0.03% of the
+gallery): dem-gather wins whenever budget*B rows gathered stay small
+relative to the full scan's N-row stream — 10-11x at B=1 / 0.1% budget
+(both 100k and 1M galleries), 2.3-2.4x at B=32 / 0.1%, parity at B=1 /
+2% budget, and it LOSES at B=128+ or budgets >=0.5% where the scattered
+gather traffic exceeds the dense scan's sequential HBM stream. Serving
+guidance: latency-bound single/small-batch lookups -> dem-gather;
+throughput-bound batched matching -> ``topk_l2`` (or the int8 scan).
 """
 
 from __future__ import annotations

@@ -34,9 +34,26 @@ TPU-native redesign (NOT a port of NMSLIB's pointer graph):
   ``DistanceComputations``); a query stops expanding when its count reaches
   the budget or its beam stops improving. ``checked_fraction`` reports
   count/N like DEM's ``avgCheckedPercent`` (ann.h:29-30).
+- **Entry routing + restarts** (the production ``search_device`` path):
+  a pure graph walk from random entries saturates after ~beam*K probes and
+  stops — at 100k+ rows in high D that threw away >99% of the budget and
+  the walk never left its local minimum. ``_sw_search_routed`` spends up to
+  half the budget on a coarse scan of a seeded gallery sample (ONE MXU
+  matmul — the TPU-native analog of HNSW's upper routing layers), starts
+  the walk from the best-ranked sample rows, and when the beam saturates
+  with budget remaining it RESTARTS from the next-ranked sample slice
+  (NMSLIB's ``initSearchAttempts`` analog, driven by the budget instead of
+  a fixed attempt count) while carrying the global best-so-far.
 
 Unlike the 'exact'-mode DEM accounting, the work here is genuinely
-sub-linear: only gathered rows are touched after the build.
+sub-linear: only the sample scan and gathered rows are touched after the
+build. Measured honestly (benchmarks/ann_crossover_r3.jsonl): on
+high-dimensional identity-clustered galleries the graph walk carries
+almost no routing signal — non-matching identities are all nearly
+equidistant (concentration of measure), so error is dominated by whether
+the sample scan hits the true identity; DEM's pivot triangulation beats it
+at every operating point, which is the reference paper's own thesis
+(small_world is its weak baseline, ann.cpp:216-218 keeps it compiled out).
 """
 
 from __future__ import annotations
@@ -201,6 +218,149 @@ def _sw_search(
     return front_ids[:, 0], front_d[:, 0], checked
 
 
+@partial(jax.jit, static_argnames=("beam", "budget", "max_steps"))
+def _sw_search_routed(
+    queries: jax.Array,  # [B, D]
+    gallery: jax.Array,  # [N, D]
+    gallery_sqnorm: jax.Array,  # [N]
+    neighbors: jax.Array,  # [N, K]
+    sample_ids: jax.Array,  # [S] distinct seeded sample (S multiple of beam)
+    beam: int,
+    budget: int,
+    max_steps: int,
+):
+    """Coarse-routed, restarting beam search (see module docstring).
+
+    The S sample rows are scanned up front (counted against the budget) and
+    ranked; the walk starts from the top ``beam`` and, whenever the beam
+    saturates with budget left, restarts from the next-ranked slice while a
+    global best-so-far is carried. Returns (best_id, best_d, checked)."""
+    b, d = queries.shape
+    n = gallery.shape[0]
+    k = neighbors.shape[1]
+    s = sample_ids.shape[0]
+    q32 = queries.astype(jnp.float32)
+    qn = jnp.sum(q32 * q32, axis=1)  # [B]
+
+    def true_dist(ids):  # ids [B, M]
+        feats = gallery[ids]
+        dots = jnp.einsum(
+            "bmd,bd->bm", feats.astype(jnp.float32), q32,
+            preferred_element_type=jnp.float32,
+        )
+        return (qn[:, None] + gallery_sqnorm[ids] - 2.0 * dots) / d
+
+    # --- routing scan: one [B, S] matmul over the sample -------------------
+    sfeats = gallery[sample_ids].astype(jnp.float32)  # [S, D]
+    d_s = (
+        qn[:, None]
+        + gallery_sqnorm[sample_ids][None, :]
+        - 2.0 * q32 @ sfeats.T
+    ) / d  # [B, S]
+    order_s = jnp.argsort(d_s, axis=1)  # [B, S] ranked entry schedule
+    sorted_ids = sample_ids[order_s]  # [B, S]
+    sorted_d = jnp.take_along_axis(d_s, order_s, axis=1)
+
+    rows = jnp.arange(b)[:, None]
+    nw = (n + 31) // 32
+    one = jnp.uint32(1)
+
+    def bit_of(ids):
+        return one << (ids & 31).astype(jnp.uint32)
+
+    # every sample row is visited by every query: build the mask once, share
+    base = jnp.zeros((nw,), jnp.uint32).at[sample_ids >> 5].add(
+        bit_of(sample_ids)
+    )
+    visited0 = jnp.broadcast_to(base, (b, nw)) | jnp.zeros((b, nw), jnp.uint32)
+    checked0 = jnp.full((b,), s, jnp.int32)
+    front_ids0 = sorted_ids[:, :beam]
+    front_d0 = sorted_d[:, :beam]
+    front_exp0 = jnp.zeros((b, beam), jnp.bool_)
+    best_id0 = front_ids0[:, 0]
+    best_d0 = front_d0[:, 0]
+    r0 = jnp.ones((b,), jnp.int32)  # next restart slice
+    active0 = jnp.full((b,), s < budget, jnp.bool_)
+    n_slices = s // beam
+
+    def cond(state):
+        return jnp.logical_and(state[-1] < max_steps, jnp.any(state[-2]))
+
+    def body(state):
+        (front_ids, front_d, front_exp, visited, checked,
+         best_id, best_d, r, active, step) = state
+        w_act = jnp.clip((budget - checked) // k, 1, beam)
+        unexp = ~front_exp
+        expand_slot = jnp.logical_and(
+            jnp.logical_and(unexp, jnp.cumsum(unexp, axis=1) <= w_act[:, None]),
+            active[:, None],
+        )
+        cand = neighbors[front_ids].reshape(b, beam * k)
+        slot_mask = jnp.repeat(expand_slot, k, axis=1)
+        seen = (visited[rows, cand >> 5] & bit_of(cand)) != 0
+        key = jnp.where(slot_mask, cand, cand + n)
+        srt = jnp.argsort(key, axis=1)
+        ks = jnp.take_along_axis(key, srt, axis=1)
+        dup_sorted = jnp.concatenate(
+            [jnp.zeros((b, 1), jnp.bool_), ks[:, 1:] == ks[:, :-1]], axis=1
+        )
+        inv = jnp.argsort(srt, axis=1)
+        first = ~jnp.take_along_axis(dup_sorted, inv, axis=1)
+        fresh = (~seen) & slot_mask & first
+        dc = jnp.where(fresh, true_dist(cand), BIG)
+        visited = visited.at[rows, cand >> 5].add(
+            jnp.where(fresh, bit_of(cand), jnp.uint32(0))
+        )
+        checked_new = checked + jnp.sum(fresh, axis=1).astype(jnp.int32)
+        front_exp = jnp.logical_or(front_exp, expand_slot)
+
+        merged_d = jnp.concatenate([front_d, dc], axis=1)
+        merged_i = jnp.concatenate([front_ids, cand], axis=1)
+        merged_e = jnp.concatenate(
+            [front_exp, jnp.zeros((b, beam * k), jnp.bool_)], axis=1
+        )
+        order = jnp.argsort(merged_d, axis=1)[:, :beam]
+        nd = jnp.take_along_axis(merged_d, order, axis=1)
+        ni = jnp.take_along_axis(merged_i, order, axis=1)
+        ne = jnp.take_along_axis(merged_e, order, axis=1)
+        keep = active[:, None]
+        front_ids = jnp.where(keep, ni, front_ids)
+        front_d = jnp.where(keep, nd, front_d)
+        front_exp = jnp.where(keep, ne, front_exp)
+
+        # fold the frontier head into the global best BEFORE any restart
+        better = front_d[:, 0] < best_d
+        best_d = jnp.where(better, front_d[:, 0], best_d)
+        best_id = jnp.where(better, front_ids[:, 0], best_id)
+
+        # restart saturated rows from the next-ranked sample slice
+        saturated = ~jnp.any(~front_exp, axis=1)
+        in_budget = checked_new < budget
+        want_restart = active & saturated & in_budget & (r < n_slices)
+        cols = jnp.clip(
+            r[:, None] * beam + jnp.arange(beam)[None, :], 0, s - 1
+        )
+        rid = jnp.take_along_axis(sorted_ids, cols, axis=1)
+        rd = jnp.take_along_axis(sorted_d, cols, axis=1)
+        rmask = want_restart[:, None]
+        front_ids = jnp.where(rmask, rid, front_ids)
+        front_d = jnp.where(rmask, rd, front_d)
+        front_exp = jnp.where(rmask, False, front_exp)
+        r = r + want_restart.astype(jnp.int32)
+        active = active & in_budget & (~saturated | want_restart)
+        return (front_ids, front_d, front_exp, visited, checked_new,
+                best_id, best_d, r, active, step + 1)
+
+    state = (front_ids0, front_d0, front_exp0, visited0, checked0,
+             best_id0, best_d0, r0, active0, 0)
+    (front_ids, front_d, _, _, checked,
+     best_id, best_d, _, _, _) = jax.lax.while_loop(cond, body, state)
+    better = front_d[:, 0] < best_d
+    best_d = jnp.where(better, front_d[:, 0], best_d)
+    best_id = jnp.where(better, front_ids[:, 0], best_id)
+    return best_id, best_d, checked
+
+
 class SmallWorldMatcher:
     """Budgeted graph-ANN matcher ("small_world_rand" in reference
     printouts, ann.cpp:214)."""
@@ -213,6 +373,7 @@ class SmallWorldMatcher:
         beam: int = 8,
         image_count_to_check: int = 0,
         seed: int = 0,
+        sample_pool: int = 8192,
     ):
         self.name = f"small_world_rand(NN={k_nn + k_rand},beam={beam})"
         self._n, self._d = gallery_features.shape
@@ -223,7 +384,23 @@ class SmallWorldMatcher:
         self.neighbors = build_neighbor_table(
             self.gallery, k_nn=k_nn, k_rand=k_rand, seed=seed
         )
+        # seeded routing pool: a fixed permutation sample; search slices the
+        # first S = min(pool, max(4*beam, budget//2)) rows (budget-scaled)
+        rng = np.random.default_rng(seed + 2)
+        pool = min(self._n, int(sample_pool))
+        self._sample_pool = jnp.asarray(
+            rng.choice(self._n, size=pool, replace=False).astype(np.int32)
+        )
         self.set_budget(image_count_to_check)
+
+    def _sample_size(self) -> int:
+        beam = min(self.beam, self._n)
+        s = min(
+            int(self._sample_pool.shape[0]),
+            max(4 * beam, self.budget // 2),
+            max(beam, self.budget),  # never let routing alone blow the budget
+        )
+        return max(beam, (s // beam) * beam)  # multiple of beam, >= beam
 
     def set_budget(self, image_count_to_check: int) -> None:
         if image_count_to_check <= 0 or image_count_to_check > self._n:
@@ -255,22 +432,34 @@ class SmallWorldMatcher:
     def search_device(self, queries_dev, entries=None):
         """Device-in/device-out search (no host fetch) — the serving/bench
         path queues many of these and fetches once; on the tunneled device
-        a per-call fetch would dominate the measured latency."""
-        b = int(queries_dev.shape[0])
-        if entries is None:
-            entries = self._entry_ids(b)
+        a per-call fetch would dominate the measured latency.
+
+        Default is the routed+restarting search; passing explicit
+        ``entries`` selects the pure graph walk from those entry points
+        (kernel-level testing / NMSLIB-walk parity)."""
         beam = min(self.beam, self._n)
         k = int(self.neighbors.shape[1])
         # Every step expands >=1 beam slot and each beam entrant was a
         # counted evaluation, so <= budget + beam expansions can ever
         # happen; the cap below is a safety net, not the usual stop.
         max_steps = self.budget + beam * k + 8
-        return _sw_search(
+        if entries is not None:
+            return _sw_search(
+                jnp.asarray(queries_dev, jnp.float32),
+                self.gallery,
+                self.gallery_sqnorm,
+                self.neighbors,
+                entries,
+                beam=beam,
+                budget=self.budget,
+                max_steps=max_steps,
+            )
+        return _sw_search_routed(
             jnp.asarray(queries_dev, jnp.float32),
             self.gallery,
             self.gallery_sqnorm,
             self.neighbors,
-            entries,
+            self._sample_pool[: self._sample_size()],
             beam=beam,
             budget=self.budget,
             max_steps=max_steps,

@@ -250,18 +250,18 @@ def main() -> None:
 
             if sw is not None:
                 from fast_image_recognition_tpu.search.small_world import (
-                    _sw_search,
+                    _sw_search_routed,
                 )
 
-                entries = sw._entry_ids(b)
                 beam = min(sw.beam, sw._n)
                 for frac in [float(x) for x in args.sw_budgets.split(",")]:
                     sw.set_budget(max(1, int(frac * n)))
                     max_steps = sw.budget + beam * int(sw.neighbors.shape[1]) + 8
+                    sample = sw._sample_pool[: sw._sample_size()]
                     sw_run = _scan_searches(
-                        lambda q, gal, gsq, nbrs, ent, _b=sw.budget, _m=max_steps: (
-                            _sw_search(
-                                q, gal, gsq, nbrs, ent,
+                        lambda q, gal, gsq, nbrs, smp, _b=sw.budget, _m=max_steps: (
+                            _sw_search_routed(
+                                q, gal, gsq, nbrs, smp,
                                 beam=beam, budget=_b, max_steps=_m,
                             )
                         ),
@@ -270,7 +270,7 @@ def main() -> None:
                         sw.gallery,
                         sw.gallery_sqnorm,
                         sw.neighbors,
-                        entries,
+                        sample,
                     )
                     sw_sec = (
                         _time_queued(sw_run, lambda o: o, max(2, iters // 4))
@@ -279,7 +279,7 @@ def main() -> None:
                     sw_err = err_pct(sw_run())
                     _, _, checked = (
                         np.asarray(x)
-                        for x in sw.search_device(probes_all[:b], entries)
+                        for x in sw.search_device(probes_all[:b])
                     )
                     rec = {
                         "method": "small_world",

@@ -189,6 +189,31 @@ def test_budget_at_or_below_pivot_count_probes_zero_candidates(data, matcher):
     matcher.set_budget(0)  # restore: 0 means unlimited
 
 
+@pytest.mark.parametrize("probe_mode", ["exact", "gather"])
+def test_batch_invariance(data, probe_mode):
+    """Searching probes one-at-a-time must match searching them as one
+    batch. Regression guard for the MXU precision trap: the likelihood
+    expansion qp_sq + pm_sq - 2*d_qp@P cancels ~2500:1, and at batch>=8
+    XLA lowers the cross-term matmul to the MXU whose DEFAULT fp32
+    precision uses bf16 multiplies — without Precision.HIGHEST the
+    candidate ranking randomized (error 35-89% at batch 32 on TPU, 0% at
+    batch 1). On CPU both lowerings are fp32, so this only bites with
+    FIR_TEST_TPU=1 — keep it cheap so it always runs."""
+    gallery, glabels, probes, _ = data
+    m = DirectedEnumerationMatcher(
+        gallery, glabels, seed=3, probe_mode=probe_mode
+    )
+    m.set_budget(60)
+    batched = m.search(probes)
+    singles = np.concatenate(
+        [m.search(probes[i : i + 1]).indices for i in range(probes.shape[0])]
+    )
+    # bf16 probe distances may flip rare near-ties between tilings; the
+    # ranking itself must be batch-independent.
+    assert (batched.indices == singles).mean() >= 0.95
+    assert (glabels[batched.indices] == glabels[singles]).mean() >= 0.97
+
+
 # ---------------------------------------------------------------------------
 # Non-PIVOT (full-matrix) DEM — ann.cpp:283-300, 474-499 #ifndef PIVOT
 # ---------------------------------------------------------------------------

@@ -88,6 +88,33 @@ def test_label_accuracy_via_matcher(dataset):
     assert acc >= 0.9
 
 
+def test_routed_search_uses_budget_and_improves(dataset):
+    """The production path (no explicit entries) routes through a coarse
+    sample scan and RESTARTS from ranked entries until the budget is spent —
+    a pure walk saturates after ~beam*K probes and wastes the rest (the
+    100k-gallery failure mode). More budget must mean more rows checked and
+    no-worse accuracy; accounting stays within one expansion wave."""
+    g, gl, p, pl = dataset
+    n = g.shape[0]
+    bf = BruteForceMatcher(g)
+    want = bf.search(p)
+    m = SmallWorldMatcher(g, seed=0, beam=8)
+    k = int(np.asarray(m.neighbors).shape[1])
+
+    results = {}
+    for budget in (n // 20, n // 2):
+        m.set_budget(budget)
+        r = m.search(p)
+        assert (r.checked_fraction * n <= budget + m.beam * k + 1e-6).all()
+        results[budget] = r
+    tight, loose = results[n // 20], results[n // 2]
+    # restarts keep consuming budget instead of stopping at saturation
+    assert loose.checked_fraction.mean() > 2 * tight.checked_fraction.mean()
+    agree_tight = float(np.mean(tight.indices == want.indices))
+    agree_loose = float(np.mean(loose.indices == want.indices))
+    assert agree_loose >= max(agree_tight, 0.9)
+
+
 def test_packed_visited_bitmap_at_scale():
     """The visited state is bit-packed [B, ceil(N/32)] uint32 — at 100k+
     rows the search must run (a [B, N] bool map would be the old 1 GB/1M-row
