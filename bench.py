@@ -207,10 +207,12 @@ def bench_e2e(args) -> None:
         model, variables, info, gallery,
         n_valid=n, resolution=res, match=args.match,
         pca_dim=args.pca_dim, rescore=args.rescore,
+        pca_scan=args.pca_scan, select=args.select,
         serving_fn=(serve, sparams),
     )
     match_desc = {
-        "pca": f"pca{args.pca_dim}+rescore{args.rescore}",
+        "pca": f"pca{args.pca_dim}[{args.pca_scan}]+rescore{args.rescore}"
+        + ("+approxk" if args.select == "approx" else ""),
         "exact": "exact bf16",
         "int8": "int8 scan+rescore",
     }[args.match]
@@ -560,12 +562,24 @@ def main() -> None:
         help="e2e match path: pca candidates + full-D rescore, exact, or "
         "int8 quantized scan + exact rescore",
     )
-    # 128-d candidate projection + 48-tile full-D rescore: measured best
-    # e2e operating point (candidate argmin epilogue is the kernel floor,
-    # so halving the projection dim buys more than it costs in recall; the
-    # full-D rescore restores exactness and agreement_pct audits it)
-    parser.add_argument("--pca-dim", type=int, default=128)
+    # 124-d candidate projection + packed scan + 48-tile full-D rescore:
+    # measured best e2e operating point (the candidate scan is VPU-epilogue
+    # bound, so the packed single-reduce kernel wins ~1.8x; 124 + the 4
+    # augmented norm columns land exactly on 128 lanes; the full-D rescore
+    # restores exactness and agreement_pct audits it)
+    parser.add_argument("--pca-dim", type=int, default=124)
     parser.add_argument("--rescore", type=int, default=48)
+    parser.add_argument(
+        "--pca-scan", default="packed",
+        choices=["packed", "f32", "bf16", "int8"],
+        help="e2e pca candidate-scan kernel (packed = single-reduce "
+        "MXU-assembled distance, the measured-fastest)",
+    )
+    parser.add_argument(
+        "--select", default="exact", choices=["exact", "approx"],
+        help="tile-selection op for pca candidates (approx = "
+        "lax.approx_min_k)",
+    )
     parser.add_argument("--quick", action="store_true", help="small shapes for smoke runs")
     parser.add_argument(
         "--quant", action="store_true",

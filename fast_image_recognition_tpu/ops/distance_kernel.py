@@ -347,6 +347,156 @@ def tile_min_l2(
     return out_d / d, out_i[:b]
 
 
+def _tilemin_packed_kernel(
+    # inputs
+    q_ref,  # [B, Da] bf16 augmented queries (whole block, VMEM-resident)
+    g_ref,  # [TG, Da] bf16 augmented gallery tile (streamed)
+    # outputs (row j%8 of the revisited 8-row block = this tile's min)
+    out_ref,  # [8, B] int32 packed (quantized distance | row-in-tile)
+    *,
+    tile_g: int,
+):
+    """Measured-bottleneck rewrite of ``_tilemin_kernel`` (profile_match on
+    v5e, 1M x 128, B=1024: 8.7 ms/batch, ~27x over the HBM bound — the
+    subtract/min/eq/where/min epilogue over [B, TG] per tile is VPU issue-
+    bound, the D=128 MXU dot is ~5% of it). Three changes:
+
+    1. ZERO elementwise distance math: the augmented columns (see
+       ``pack_gallery_aug``) make the MXU emit the full
+       ``|q|^2 + |g|^2 - 2 q.g`` directly.
+    2. Transposed [TG, B] output: the tile reduce runs along SUBLANES
+       (a chain of whole-vreg ``min`` ops, ~1/8 instruction per element)
+       instead of lanes (per-row shuffle trees, twice).
+    3. ONE reduce for value+index: distances are >= 0 so their f32 bit
+       patterns order as int32; mask the low log2(TG) mantissa bits, OR in
+       a row iota, and a single ``min`` carries the argmin for free. The
+       masking quantizes the carried distance to ~2^-13 relative — far
+       inside the bf16 operand rounding the scan already accepts, and the
+       caller's full-precision rescore absorbs both. (Rounding can push a
+       true ~0 distance slightly negative; its bit pattern then has the
+       sign bit set and sorts below every positive key — i.e. the
+       nearest row still wins, exactly as wanted.)
+    """
+    j = pl.program_id(0)
+    cross = jax.lax.dot_general(
+        g_ref[:],
+        q_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TG, B] = full squared L2 (augmented columns)
+    bits = jax.lax.bitcast_convert_type(cross, jnp.int32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, bits.shape, 0)
+    key = (bits & ~(tile_g - 1)) | rows
+    out_ref[j % 8, :] = jnp.min(key, axis=0)
+
+
+def pack_gallery_aug(
+    gallery: jax.Array,
+    n_valid: Optional[int] = None,
+    tile_g: int = 1024,
+) -> jax.Array:
+    """Augmented bf16 gallery for ``tile_min_l2_packed``: columns
+    ``[g, |g|^2_hi, |g|^2_lo, 1, 1]`` padded to a 128-lane multiple, rows
+    padded to ``tile_g`` with |g|^2 = 1e38 (finite in bf16 — BIG_DIST
+    rounds to inf and the hi/lo split would produce inf + -inf = NaN).
+    The hi/lo bf16 split carries the norm at ~2^-17 relative; with the
+    query-side ``[-2q, 1, 1, |q|^2_hi, |q|^2_lo]`` layout the MXU dot
+    emits the complete squared distance. Build once per gallery."""
+    big = 1e38
+    n = n_valid if n_valid is not None else gallery.shape[0]
+    gallery = pad_gallery(gallery, tile_g).astype(jnp.bfloat16)
+    np_, d = gallery.shape
+    gsq = jnp.einsum(
+        "nd,nd->n", gallery, gallery, preferred_element_type=jnp.float32
+    )
+    gsq = jnp.where(jnp.arange(np_) < n, gsq, big)
+    hi = gsq.astype(jnp.bfloat16)
+    lo = (gsq - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    da = _round_up(d + 4, 128)
+    aug = jnp.zeros((np_, da), jnp.bfloat16)
+    aug = aug.at[:, :d].set(gallery)
+    aug = aug.at[:, d].set(hi)
+    aug = aug.at[:, d + 1].set(lo)
+    aug = aug.at[:, d + 2].set(jnp.bfloat16(1))
+    aug = aug.at[:, d + 3].set(jnp.bfloat16(1))
+    return aug
+
+
+@functools.partial(jax.jit, static_argnames=("d", "tile_g", "interpret"))
+def _tilemin_packed_block(
+    queries_aug: jax.Array,  # [Bp, Da] bf16
+    gallery_aug: jax.Array,  # [Np, Da] bf16
+    d: int,
+    tile_g: int,
+    interpret: bool,
+):
+    bp, da = queries_aug.shape
+    np_, _ = gallery_aug.shape
+    n_tiles = np_ // tile_g
+    n_rows = _round_up(n_tiles, 8)
+    out = pl.pallas_call(
+        functools.partial(_tilemin_packed_kernel, tile_g=tile_g),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((bp, da), lambda j: (0, 0)),
+            pl.BlockSpec((tile_g, da), lambda j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((8, bp), lambda j: (j // 8, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_rows, bp), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * np_ * da,
+            bytes_accessed=int(np_ * da * 2),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries_aug, gallery_aug)
+    return out[:n_tiles]
+
+
+def tile_min_l2_packed(
+    queries: jax.Array,  # [B, D] fp32/bf16 (raw, NOT augmented)
+    gallery_aug: jax.Array,  # pack_gallery_aug(...) output
+    d: int,  # original feature dim (gallery_aug is [Np, >=d+4])
+    *,
+    tile_g: int = 1024,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """``tile_min_l2`` via the packed single-reduce kernel (see
+    ``_tilemin_packed_kernel``): (dist [B, n_tiles] window means, index
+    [B, n_tiles]). Returned distances are quantized to ~2^-13 relative
+    (tile SELECTION fidelity; candidates get rescored exactly anyway)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, dq = queries.shape
+    da = gallery_aug.shape[1]
+    assert dq == d and d + 4 <= da, (dq, d, da)
+    qf = jnp.asarray(queries, jnp.float32)
+    qsq = jnp.einsum("bd,bd->b", qf, qf, preferred_element_type=jnp.float32)
+    qhi = qsq.astype(jnp.bfloat16)
+    qlo = (qsq - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    qa = jnp.zeros((b, da), jnp.bfloat16)
+    qa = qa.at[:, :d].set((-2.0 * qf).astype(jnp.bfloat16))
+    qa = qa.at[:, d].set(jnp.bfloat16(1))
+    qa = qa.at[:, d + 1].set(jnp.bfloat16(1))
+    qa = qa.at[:, d + 2].set(qhi)
+    qa = qa.at[:, d + 3].set(qlo)
+    bp = _round_up(max(b, 128), 128)
+    if bp != b:
+        qa = jnp.pad(qa, ((0, bp - b), (0, 0)))
+    outs = []
+    for s in range(0, bp, MAX_QUERY_BLOCK):
+        keys = _tilemin_packed_block(
+            qa[s : s + MAX_QUERY_BLOCK], gallery_aug, d, tile_g, interpret
+        )
+        outs.append(keys.T)  # [chunk, n_tiles]
+    keys = jnp.concatenate(outs, axis=0)[:b] if len(outs) > 1 else outs[0][:b]
+    idx_in_tile = keys & (tile_g - 1)
+    n_tiles = keys.shape[1]
+    out_i = jnp.arange(n_tiles, dtype=jnp.int32)[None, :] * tile_g + idx_in_tile
+    vals = jax.lax.bitcast_convert_type(keys & ~(tile_g - 1), jnp.float32)
+    return jnp.maximum(vals, 0.0) / d, out_i
+
+
 def _tilemin_quant_kernel(
     # inputs
     q_ref,  # [B, D] int8 (whole padded query block, VMEM-resident)
@@ -607,6 +757,28 @@ def topk_candidates_l2(
     r = min(r, d.shape[1])
     tile_sel = _select_tiles(d, r, select)  # [B, R] tile ids
     return jnp.take_along_axis(i, tile_sel, axis=1)
+
+
+def topk_candidates_l2_packed(
+    queries: jax.Array,
+    gallery_aug: jax.Array,  # pack_gallery_aug(...) output
+    d: int,
+    r: int,
+    *,
+    tile_g: int = 1024,
+    interpret: Optional[bool] = None,
+    select: str = "exact",
+) -> jax.Array:
+    """``topk_candidates_l2`` via the packed single-reduce scan (measured
+    1.8x the fp32-scores kernel at 1M x 124, B=1024: 4.06 vs 7.40 ms).
+    Candidate containment holds up to bf16 operand rounding + the 2^-13
+    packed-key quantization — absorbed by the caller's exact rescore."""
+    dt, it = tile_min_l2_packed(
+        queries, gallery_aug, d, tile_g=tile_g, interpret=interpret
+    )
+    r = min(r, dt.shape[1])
+    tile_sel = _select_tiles(dt, r, select)
+    return jnp.take_along_axis(it, tile_sel, axis=1)
 
 
 def topk_candidates_l2_quant(

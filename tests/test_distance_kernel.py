@@ -160,3 +160,61 @@ def test_tile_min_precomputed_gsq_and_bf16_scores(sets):
             # the chosen row's true distance is within bf16 slack of the min
             chosen = dense[b, np.asarray(i16)[b, t]]
             assert chosen <= blk.min() * 1.02 + 1e-5
+
+
+def test_tile_min_packed_parity(sets):
+    """Packed single-reduce scan (MXU-assembled distance + value|index in
+    one int32 min) vs the dense oracle: per-tile argmin up to bf16 operand
+    rounding, per-tile min distance to the 2^-13 key quantization, the
+    true 1-NN always contained (the rescore contract)."""
+    from fast_image_recognition_tpu.ops.distance_kernel import (
+        pack_gallery_aug,
+        tile_min_l2_packed,
+        topk_candidates_l2_packed,
+    )
+
+    q, g = sets
+    tile = 64
+    n = g.shape[0]
+    gaug = pack_gallery_aug(jnp.asarray(g), n, tile_g=tile)
+    assert gaug.shape[1] == 256 and gaug.dtype == jnp.bfloat16  # 128+4 -> 256
+    d, i = tile_min_l2_packed(q, gaug, g.shape[1], tile_g=tile)
+    d, i = np.asarray(d), np.asarray(i)
+    dense = oracle_pairwise(q, g)
+    n_tiles = -(-n // tile)
+    assert d.shape == (q.shape[0], n_tiles)
+    for b in range(q.shape[0]):
+        for t in range(n_tiles):
+            blk = dense[b, t * tile : min((t + 1) * tile, n)]
+            # chosen row within bf16 slack of the tile min; reported
+            # distance matches the chosen row up to key quantization
+            chosen = dense[b, i[b, t]]
+            assert i[b, t] // tile == t and i[b, t] < n
+            assert chosen <= blk.min() * 1.02 + 1e-5
+            np.testing.assert_allclose(d[b, t], chosen, rtol=2e-2, atol=1e-5)
+    # 1-NN containment through the candidate surface
+    cand = np.asarray(topk_candidates_l2_packed(q, gaug, g.shape[1], 4, tile_g=tile))
+    nn = dense.argmin(1)
+    assert all(nn[b] in cand[b] for b in range(q.shape[0]))
+
+
+def test_tile_min_packed_ragged_n():
+    """Pad rows past n_valid carry a huge key and never win a tile min."""
+    from fast_image_recognition_tpu.ops.distance_kernel import (
+        pack_gallery_aug,
+        tile_min_l2_packed,
+    )
+
+    gallery, _ = make_synthetic_gallery(7, 13, 96, seed=3)  # 91 rows
+    probes, _ = make_synthetic_gallery(3, 1, 96, seed=4)
+    gaug = pack_gallery_aug(jnp.asarray(gallery), 91, tile_g=32)
+    d, i = tile_min_l2_packed(probes, gaug, 96, tile_g=32)
+    dense = oracle_pairwise(probes, gallery)
+    blk = dense[:, 64:91]  # ragged last tile: 91 = 2*32 + 27
+    assert (np.asarray(i)[:, 2] < 91).all()
+    np.testing.assert_allclose(
+        np.asarray(d)[:, 2],
+        dense[np.arange(3), np.asarray(i)[:, 2]],
+        rtol=2e-2,
+    )
+    assert (np.asarray(d)[:, 2] <= blk.min(1) * 1.02 + 1e-5).all()

@@ -80,7 +80,7 @@ def test_int8_match_finds_planted_rows(setup):
     np.testing.assert_array_equal(lab, labels[true_idx])
 
 
-@pytest.mark.parametrize("pca_scan", ["bf16", "int8"])
+@pytest.mark.parametrize("pca_scan", ["bf16", "int8", "packed"])
 def test_pca_scan_variants_find_planted_rows(setup, pca_scan):
     """The cheaper candidate-scan precisions (bf16 reduction passes /
     int8 quantized gallery) must still recover the planted rows — the
