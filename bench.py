@@ -371,7 +371,7 @@ def bench_cascade(args) -> None:
 
     res = args.resolution or 224
     model, variables = create_efficientnet(args.variant, 0, resolution=res)
-    taps = tuple(default_taps(args.variant))
+    taps = tuple(default_taps(args.variant, preset=args.exits))
     probe = model.apply(variables, jnp.zeros((1, res, res, 3)), taps=taps)
     dims = [int(probe["taps"][t].shape[-1]) for t in taps] + [
         int(probe["embedding"].shape[-1])
@@ -457,7 +457,7 @@ def bench_cascade(args) -> None:
     mode_desc = "pooled" if args.cascade_mode == "pooled" else "fused"
     _emit(
         f"images/sec/chip ({mode_desc} early-exit cascade, {head_desc}, "
-        f"{len(dims)} levels, "
+        f"{len(dims)} levels [{args.exits} taps], "
         f"breaks={np.round(r.break_counts, 2).tolist()}, plain forward "
         f"{plain_ips:.0f} img/s)",
         ips,
@@ -598,6 +598,12 @@ def main() -> None:
         "--slack", type=float, default=1.3,
         help="cascade config: per-level capacity slack over the calibrated "
         "survivor fractions (lower = fewer wasted lanes, more forced exits)",
+    )
+    parser.add_argument(
+        "--exits", default="deep", choices=["deep", "early"],
+        help="cascade config: tap preset — 'deep' mirrors the reference's "
+        "B7 tap depths (first exit ~60%% of full FLOPs), 'early' adds "
+        "stage-3/4 exits (first exit ~25%%) so the cascade can bank more",
     )
     parser.add_argument(
         "--cascade-mode", default="fused", choices=["fused", "pooled"],

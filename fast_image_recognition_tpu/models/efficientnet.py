@@ -110,17 +110,29 @@ def block_plan(variant: str) -> List[Dict[str, Any]]:
     return plan
 
 
-def default_taps(variant: str) -> List[str]:
-    """Exit-tap block names analogous to the reference's B7 choice
-    (sequential_inference.py:359): two taps inside stage 5, two inside
-    stage 6, one early in stage 7 — placed at the same fractional depth for
-    every variant."""
+_TAP_PRESETS = {
+    # the reference's B7 choice (sequential_inference.py:359): two taps
+    # inside stage 5, two inside stage 6, one early in stage 7
+    "deep": ((5, (0.15, 0.6)), (6, (0.1, 0.45)), (7, (0.0,))),
+    # compute-saving ladder: exits from stage 3 on, so the first exit costs
+    # ~1/4 of the full forward instead of ~0.6 — the deep preset's first
+    # tap caps the cascade's ideal speedup at ~1.5x regardless of engine
+    # efficiency (see ARCHITECTURE.md §4)
+    "early": ((3, (0.0,)), (4, (0.0,)), (5, (0.0, 0.6)), (6, (0.45,)), (7, (0.0,))),
+}
+
+
+def default_taps(variant: str, preset: str = "deep") -> List[str]:
+    """Exit-tap block names placed at fixed fractional stage depths for
+    every variant. ``preset='deep'`` mirrors the reference's B7 tap choice
+    (sequential_inference.py:359); ``preset='early'`` adds stage-3/4 exits
+    for a compute-saving cascade ladder."""
     plan = block_plan(variant)
     by_stage: Dict[int, List[str]] = {}
     for b in plan:
         by_stage.setdefault(b["stage"], []).append(b["name"])
     taps = []
-    for stage, fracs in ((5, (0.15, 0.6)), (6, (0.1, 0.45)), (7, (0.0,))):
+    for stage, fracs in _TAP_PRESETS[preset]:
         names = by_stage[stage]
         for f in fracs:
             taps.append(names[min(int(round(f * len(names))), len(names) - 1)])

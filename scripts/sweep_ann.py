@@ -86,6 +86,7 @@ def _device_workload(
     seed: int = 0,
     per_class: int = 4,
     sigma: float = 0.25,
+    intrinsic_dim: int = 0,
 ):
     """Class-clustered recognition workload, built ON DEVICE in one dispatch
     (nothing big crosses the link): n/per_class identities, each a random
@@ -93,6 +94,14 @@ def _device_workload(
     sample of a known identity. Intra-class window-mean L2 ~ 2*sigma^2,
     inter-class ~ 2 + 2*sigma^2 — the well-separated regime the reference's
     face-embedding galleries live in.
+
+    ``intrinsic_dim > 0`` draws the class centers from an intrinsic_dim-
+    dimensional random subspace of the ambient space (scaled so pairwise
+    center distances keep the same expectation). Real CNN embeddings live on
+    a low-dimensional manifold — that structure is what makes graph-walk
+    methods (small_world) navigable; isotropic 1536-d centers are their
+    degenerate worst case (greedy neighbor steps make no progress, so the
+    walk decays to random sampling). 0 = isotropic (the DEM/BF default).
 
     Returns (gallery [n, dim] bf16 device, labels [n] np.int32,
     probe_classes [b_max] np.int32, probes [b_max, dim] fp32 device)."""
@@ -106,11 +115,18 @@ def _device_workload(
         n_classes, size=b_max, replace=False
     )
     cls_d = jnp.asarray(probe_cls, jnp.int32)
-    kc, k1, k2 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    kc, k1, k2, kp = jax.random.split(jax.random.PRNGKey(seed), 4)
 
     @jax.jit
     def build():
-        centers = jax.random.normal(kc, (n_classes, dim), jnp.bfloat16)
+        if intrinsic_dim and intrinsic_dim < dim:
+            lat = jax.random.normal(kc, (n_classes, intrinsic_dim), jnp.float32)
+            proj = jax.random.normal(
+                kp, (intrinsic_dim, dim), jnp.float32
+            ) / jnp.sqrt(jnp.float32(intrinsic_dim))
+            centers = (lat @ proj).astype(jnp.bfloat16)
+        else:
+            centers = jax.random.normal(kc, (n_classes, dim), jnp.bfloat16)
         g = jnp.repeat(centers, per_class, axis=0) + sigma * jax.random.normal(
             k1, (n, dim), jnp.bfloat16
         )
@@ -130,6 +146,12 @@ def main() -> None:
     parser.add_argument("--batches", default="1,32,128")
     parser.add_argument("--budgets", default="0.001,0.005,0.01,0.02")
     parser.add_argument("--dim", type=int, default=1536)
+    parser.add_argument(
+        "--intrinsic-dim", type=int, default=0,
+        help="draw class centers from a random subspace of this dimension "
+        "(0 = isotropic). Graph-walk methods need low intrinsic dimension "
+        "to navigate — see _device_workload",
+    )
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--small-world", action="store_true",
                         help="also sweep the small_world graph matcher "
@@ -152,7 +174,9 @@ def main() -> None:
 
     b_max = max(int(x) for x in args.batches.split(","))
     for n in [int(x) for x in args.galleries.split(",")]:
-        g, labels, probe_cls, probes_all = _device_workload(n, args.dim, b_max)
+        g, labels, probe_cls, probes_all = _device_workload(
+            n, args.dim, b_max, intrinsic_dim=args.intrinsic_dim
+        )
         matcher = DirectedEnumerationMatcher.from_device(
             g, labels, probe_mode="gather", seed=0
         )
@@ -202,6 +226,8 @@ def main() -> None:
                     "budget_frac": frac,
                     "inner": inner,
                 }
+                if args.intrinsic_dim:
+                    base["intrinsic_dim"] = args.intrinsic_dim
                 if gather_bytes > GATHER_BYTES_CAP:
                     base["skipped"] = (
                         f"gather block {gather_bytes / 1e9:.1f} GB > cap "
@@ -287,6 +313,11 @@ def main() -> None:
                         "batch": b,
                         "budget_frac": frac,
                         "inner": inner,
+                        **(
+                            {"intrinsic_dim": args.intrinsic_dim}
+                            if args.intrinsic_dim
+                            else {}
+                        ),
                         "sw_qps": round(b / sw_sec, 1),
                         "bf_qps": round(b / bf_sec, 1),
                         "sw_error_pct": round(sw_err, 2),

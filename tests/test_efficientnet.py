@@ -163,3 +163,21 @@ def test_remat_grad_and_parity():
         np.asarray(plain.apply(variables, x)["embedding"]),
         rtol=1e-5,
     )
+
+
+def test_tap_presets_orderable():
+    """Both tap presets name real blocks in network order for every
+    variant, and 'early' starts strictly earlier than 'deep' (the
+    compute-saving ladder of bench --exits early)."""
+    for variant in ("b0", "b3", "b7"):
+        plan = [b["name"] for b in block_plan(variant)]
+        pos = {n: i for i, n in enumerate(plan)}
+        deep = default_taps(variant)
+        early = default_taps(variant, preset="early")
+        for taps in (deep, early):
+            idx = [pos[t] for t in taps]
+            assert idx == sorted(idx) and len(set(idx)) == len(idx)
+        assert pos[early[0]] < pos[deep[0]]
+        # the early ladder's first exit is in stage 3 — the cheap end
+        stage = {b["name"]: b["stage"] for b in block_plan(variant)}
+        assert stage[early[0]] == 3
