@@ -124,9 +124,12 @@ _TAP_PRESETS = {
 
 def default_taps(variant: str, preset: str = "deep") -> List[str]:
     """Exit-tap block names placed at fixed fractional stage depths for
-    every variant. ``preset='deep'`` mirrors the reference's B7 tap choice
-    (sequential_inference.py:359); ``preset='early'`` adds stage-3/4 exits
-    for a compute-saving cascade ladder."""
+    every variant. ``preset='deep'`` places taps analogous to the
+    reference's B7 choice (sequential_inference.py:359) — same stages and
+    approximate depths; fractional-depth rounding means the exact block
+    names differ for b7 (block5c/5g/6b/6g/7a here vs block5b/5f/6b/6f/7b
+    there). ``preset='early'`` adds stage-3/4 exits for a compute-saving
+    cascade ladder."""
     plan = block_plan(variant)
     by_stage: Dict[int, List[str]] = {}
     for b in plan:

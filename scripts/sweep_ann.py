@@ -115,7 +115,11 @@ def _device_workload(
         n_classes, size=b_max, replace=False
     )
     cls_d = jnp.asarray(probe_cls, jnp.int32)
-    kc, k1, k2, kp = jax.random.split(jax.random.PRNGKey(seed), 4)
+    # kc/k1/k2 keep the historical split(key, 3) stream so isotropic
+    # workloads reproduce pre-r3 captured JSONLs bit-for-bit; kp (only used
+    # by the intrinsic-dim branch) is derived out-of-stream via fold_in.
+    kc, k1, k2 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    kp = jax.random.fold_in(jax.random.PRNGKey(seed), 3)
 
     @jax.jit
     def build():
@@ -164,6 +168,12 @@ def main() -> None:
                              "ann.cpp:61-70); the DEM grid's 0.1-2%% stalls "
                              "it at the random entry points")
     args = parser.parse_args()
+    if args.intrinsic_dim and args.intrinsic_dim >= args.dim:
+        parser.error(
+            f"--intrinsic-dim ({args.intrinsic_dim}) must be < --dim "
+            f"({args.dim}); the subspace branch would silently fall back "
+            "to isotropic while result rows still claimed intrinsic_dim"
+        )
 
     import jax
     import jax.numpy as jnp
