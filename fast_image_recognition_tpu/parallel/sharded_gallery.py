@@ -22,7 +22,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fast_image_recognition_tpu.ops.distance_kernel import (
+    pack_gallery_aug,
     pad_gallery,
+    topk_candidates_l2_packed,
     topk_l2,
 )
 
@@ -109,6 +111,124 @@ def sharded_topk_l2(
     )
     # topk_l2 already returns final window-mean distances per shard.
     return fn(queries, gallery_sharded, nv)
+
+
+def shard_gallery_pca_aug(
+    gallery_sharded: jax.Array,  # [S*rows, D] bf16/f32, sharded on dim 0
+    n_valid_per_shard: np.ndarray,
+    mesh: Mesh,
+    mu: jax.Array,  # [D] PCA mean
+    w: jax.Array,  # [D, P] PCA components
+    *,
+    tile_g: int = 1024,
+    axes: Tuple[str, ...] = ("gallery",),
+) -> jax.Array:
+    """Per-shard augmented PCA gallery for the packed tile-min scan.
+
+    Each shard projects its full-D slice into the PCA space and packs it
+    with ``pack_gallery_aug`` (augmented |g|^2 columns, per-shard padding
+    rows masked at 1e38) in ONE shard_map — no host round trip, no
+    cross-shard traffic. The result is sharded identically to the input
+    gallery, so the packed candidate scan below is fully shard-local."""
+    nv = jnp.asarray(n_valid_per_shard, dtype=jnp.int32)
+    mu32 = jnp.asarray(mu, jnp.float32)
+    w32 = jnp.asarray(w, jnp.float32)
+
+    def project_pack(g_local, nv_local):
+        gp = (g_local.astype(jnp.float32) - mu32) @ w32
+        return pack_gallery_aug(gp, nv_local[0], tile_g=tile_g)
+
+    return jax.shard_map(
+        project_pack,
+        mesh=mesh,
+        in_specs=(P(axes, None), P(axes)),
+        out_specs=P(axes, None),
+        check_vma=False,
+    )(gallery_sharded, nv)
+
+
+def sharded_topk_pca_packed(
+    queries: jax.Array,  # [B, D] fp32 (full-D embeddings)
+    gal_aug_sharded: jax.Array,  # shard_gallery_pca_aug(...) output
+    gallery_sharded: jax.Array,  # [S*rows, D] full-D rows (exact rescore)
+    mesh: Mesh,
+    mu: jax.Array,
+    w: jax.Array,  # [D, P]
+    *,
+    k: int = 1,
+    rescore: int = 48,
+    n_valid_per_shard: Optional[np.ndarray] = None,
+    tile_g: int = 1024,
+    select: str = "exact",
+    axes: Tuple[str, ...] = ("gallery",),
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Global top-k via the e2e-winning candidates+rescore plan, sharded.
+
+    Per shard: the packed single-reduce tile-min scan over the local
+    PCA-projected slice yields ``rescore`` candidate rows, which are
+    rescored EXACTLY against the shard's own full-D bf16 rows (candidates
+    are shard-local, so the rescore needs no cross-chip gather); only the
+    per-shard top-k (d, global index) pairs — ``shards * k * 8`` bytes per
+    query — cross the interconnect in one ``all_gather``, followed by the
+    O(shards*k) merge. Same communication volume as ``sharded_topk_l2``
+    with ~pca_dim/D of its per-chip FLOPs and HBM stream.
+
+    Returns (window-mean squared distances [B, k], global indices [B, k]).
+    Exactness contract matches the single-chip pca path: the true NN is
+    contained up to bf16 scan rounding, then rescored exactly — and the
+    merge is over exact rescored values, so sharding adds no further
+    approximation. Reference role: db_features.cpp:164 extractPCA +
+    SURVEY.md §2.3 gallery axis."""
+    n_shards = 1
+    for a in axes:
+        n_shards *= mesh.shape[a]
+    rows_per_shard = gallery_sharded.shape[0] // n_shards
+    if n_valid_per_shard is None:
+        n_valid_per_shard = np.full(n_shards, rows_per_shard, dtype=np.int32)
+    nv = jnp.asarray(n_valid_per_shard, dtype=jnp.int32)
+    pca_dim = int(w.shape[1])
+    d_full = int(queries.shape[1])
+    qf = jnp.asarray(queries, jnp.float32)
+    qp = (qf - jnp.asarray(mu, jnp.float32)) @ jnp.asarray(w, jnp.float32)
+    qsq = jnp.einsum("bd,bd->b", qf, qf, preferred_element_type=jnp.float32)
+
+    def local_search(q, q_pca, q_sq, ga_local, g_local, nv_local):
+        shard = jax.lax.axis_index(axes)
+        cand = topk_candidates_l2_packed(
+            q_pca, ga_local, pca_dim, rescore,
+            tile_g=tile_g, select=select, interpret=interpret,
+        )  # [B, R] shard-local row ids
+        rows = jnp.take(g_local, cand, axis=0)  # [B, R, D]
+        cross = jnp.einsum(
+            "bd,brd->br", q.astype(rows.dtype), rows,
+            preferred_element_type=jnp.float32,
+        )
+        rsq = jnp.einsum(
+            "brd,brd->br", rows, rows, preferred_element_type=jnp.float32
+        )
+        dloc = (rsq - 2.0 * cross + q_sq[:, None]) / d_full
+        # padding rows (possible only when a shard has < R valid rows)
+        dloc = jnp.where(cand < nv_local[0], dloc, BIG_DIST)
+        kk = min(k, dloc.shape[1])
+        neg_top, pos = jax.lax.top_k(-dloc, kk)
+        top_i = jnp.take_along_axis(cand, pos, axis=1)
+        top_d = -neg_top
+        top_i = jnp.where(
+            top_d < BIG_DIST / 2, top_i + shard * rows_per_shard, -1
+        )
+        gat_d = jax.lax.all_gather(top_d, axes)  # [S, B, k]
+        gat_i = jax.lax.all_gather(top_i, axes)
+        return _merge_gathered(gat_d, gat_i, kk)
+
+    fn = jax.shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axes, None), P(axes, None), P(axes)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(qf, qp, qsq, gal_aug_sharded, gallery_sharded, nv)
 
 
 def shard_gallery(

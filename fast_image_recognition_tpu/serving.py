@@ -27,10 +27,14 @@ Match modes:
   ladder (ops/quant.py; no reference counterpart, its scalar loops are
   bandwidth-bound either way).
 - ``match='sharded'``: the gallery shards on N across ``mesh``'s
-  ``gallery`` axis; every chip scans its HBM-resident slice with the same
-  kernel and the per-chip top-1 candidates merge with one ``all_gather``
-  over ICI (parallel/sharded_gallery.py) — the multi-chip scaling axis of
-  the BASELINE target, still one jitted program per batch.
+  ``gallery`` axis; every chip scans its HBM-resident slice and the
+  per-chip top-1 candidates merge with one ``all_gather`` over ICI
+  (parallel/sharded_gallery.py) — the multi-chip scaling axis of the
+  BASELINE target, still one jitted program per batch.
+  ``sharded_scan='packed'`` runs the e2e-winning packed PCA candidate
+  scan + exact full-D rescore *per shard* (rescore rows are shard-local,
+  no cross-chip gather) instead of the full-D exact scan —
+  ~pca_dim/D of the per-chip FLOPs/HBM at identical merge traffic.
 
 This is the library surface behind ``bench.py``'s e2e config.
 """
@@ -64,6 +68,7 @@ class RecognitionService:
         pca_dim: int = 128,
         rescore: int = 48,
         pca_scan: str = "f32",
+        sharded_scan: str = "exact",  # 'exact' | 'packed' (match='sharded')
         select: str = "exact",
         n_valid: Optional[int] = None,
         pca_sample: int = 8192,
@@ -105,6 +110,28 @@ class RecognitionService:
             g = np.asarray(gallery, np.float32)
             self.n_valid = int(n_valid if n_valid is not None else g.shape[0])
             self.gallery, self._shard_valid = shard_gallery(g, self.mesh)
+            self.sharded_scan = sharded_scan
+            if sharded_scan == "packed":
+                from fast_image_recognition_tpu.ops.pca import fit_pca
+                from fast_image_recognition_tpu.parallel.sharded_gallery import (
+                    shard_gallery_pca_aug,
+                )
+
+                sample = g[: min(self.n_valid, pca_sample)]
+                pca = fit_pca(
+                    sample, num_components=min(pca_dim, sample.shape[1])
+                )
+                self.pca_dim = int(pca.components.shape[0])
+                self._mu = jnp.asarray(pca.mean, jnp.float32)
+                self._w = jnp.asarray(pca.components.T, jnp.float32)
+                self._gal_aug = shard_gallery_pca_aug(
+                    self.gallery,
+                    self._shard_valid,
+                    self.mesh,
+                    self._mu,
+                    self._w,
+                    tile_g=512,
+                )
         elif isinstance(gallery, jax.Array) and gallery.dtype == jnp.bfloat16:
             self.gallery = gallery  # already device/padded (bench path)
             self.n_valid = int(n_valid if n_valid is not None else gallery.shape[0])
@@ -189,6 +216,8 @@ class RecognitionService:
                 lambda s: quant_gallery_scales(s, self.n_valid)
             )(scales)
             self.match_args = (gal_q, gsq, gsc, self.gallery)
+        elif match == "sharded" and sharded_scan == "packed":
+            self.match_args = (self._gal_aug, self.gallery)
         elif match in ("exact", "sharded"):
             self.match_args = (self.gallery,)
         else:
@@ -220,6 +249,18 @@ class RecognitionService:
             )
             return idx[:, 0]
         if self.match == "sharded":
+            if self.sharded_scan == "packed":
+                from fast_image_recognition_tpu.parallel.sharded_gallery import (
+                    sharded_topk_pca_packed,
+                )
+
+                gal_aug, gallery = margs
+                _, idx = sharded_topk_pca_packed(
+                    emb, gal_aug, gallery, self.mesh, self._mu, self._w,
+                    k=1, rescore=self.rescore,
+                    n_valid_per_shard=self._shard_valid, tile_g=512,
+                )
+                return idx[:, 0]
             from fast_image_recognition_tpu.parallel.sharded_gallery import (
                 sharded_topk_l2,
             )
@@ -314,6 +355,15 @@ class RecognitionService:
     def match_flops(self, batch: int) -> float:
         """Per-dispatch match FLOPs (the backbone dominates; see
         utils/flops.fn_flops for the extract side)."""
+        if self.match == "sharded" and getattr(self, "sharded_scan", "") == "packed":
+            s = 1
+            for a in ("gallery",):
+                s *= self.mesh.shape[a]
+            return (
+                2.0 * batch * self.dim * self.pca_dim * s  # proj, replicated
+                + 2.0 * batch * self.n_valid * self.pca_dim  # scan, sharded
+                + 2.0 * batch * self.rescore * self.dim * 2 * s  # per-shard
+            )
         if self.match in ("exact", "sharded", "int8"):
             # int8's scan halves wall-clock per FLOP, not the FLOP count
             return 2.0 * batch * self.n_valid * self.dim
