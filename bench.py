@@ -245,6 +245,79 @@ def bench_e2e(args) -> None:
     )
 
 
+def bench_noise_sweep(args) -> None:
+    """Accuracy-margin audit (VERDICT r3 #6): sweep the planted-NN noise
+    from easy (0.2x the nearest-other-query distance) to near-ambiguous
+    (0.95x) and print error/agreement for each shipped fast match path —
+    the margin CURVE, not a single easy operating point. The reference
+    prints error next to every latency (qt_cpp/ann.cpp:106-107); this is
+    the stress-test version of that discipline.
+
+    Only the match path is under audit (extract is deterministic), so the
+    backbone is bypassed: embeddings are computed once and fed through a
+    pass-through serving fn, exercising the exact production match code of
+    ``RecognitionService`` with zero backbone compiles."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fast_image_recognition_tpu.models import backbone_info, create_backbone
+    from fast_image_recognition_tpu.models.fold import make_serving_fn
+    from fast_image_recognition_tpu.serving import RecognitionService
+
+    info = backbone_info(args.variant)
+    res = args.resolution or int(info["resolution"])
+    model, variables = create_backbone(args.variant, 0, resolution=res)
+    serve, sparams = make_serving_fn(
+        model, variables, info, resolution=res, folded=True
+    )
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.integers(0, 255, (args.batch, res, res, 3), dtype=np.int64)
+        .astype(np.uint8)
+    )
+    emb_fn = jax.jit(lambda v, im: serve(v, im)["embedding"])
+    emb0 = _normalize(np.asarray(emb_fn(sparams, images), np.float32))
+    n = args.gallery
+
+    # pass-through "backbone": images ARE the embeddings
+    passthrough = (lambda v, im: {"embedding": im}, None)
+    modes = [
+        ("e2e-packed", dict(match="pca", pca_scan="packed", select="exact")),
+        ("approx-select", dict(match="pca", pca_scan="packed",
+                               select="approx")),
+        ("int8", dict(match="int8")),
+    ]
+    noises = [float(x) for x in args.noise_sweep.split(",")]
+    for noise in noises:
+        gallery, true_idx = _planted_gallery_device(
+            n, emb0, noise_frac=noise
+        )
+        idx_exact = _exact_fp32_nn(emb0, gallery, n)
+        # how hard is this point? fp32 oracle error vs the planted truth
+        oracle_err = 100.0 * float(np.mean(idx_exact != true_idx))
+        for name, kw in modes:
+            svc = RecognitionService(
+                None, None, info, gallery, n_valid=n, resolution=res,
+                pca_dim=args.pca_dim, rescore=args.rescore,
+                pca_sample=2048, serving_fn=passthrough, **kw,
+            )
+            idx_fast = np.asarray(svc.identify_device(jnp.asarray(emb0)))
+            print(json.dumps({
+                "metric": f"noise-margin audit ({name})",
+                "noise_frac": noise,
+                "gallery": n,
+                "error_pct": round(
+                    100.0 * float(np.mean(idx_fast != true_idx)), 3
+                ),
+                "agreement_pct": round(
+                    100.0 * float(np.mean(idx_fast == idx_exact)), 3
+                ),
+                "oracle_error_pct": round(oracle_err, 3),
+            }))
+            sys.stdout.flush()
+
+
 def bench_bf(args) -> None:
     """Config 1: brute-force 1-NN over precomputed features (match only)."""
     import jax
@@ -582,6 +655,12 @@ def main() -> None:
     )
     parser.add_argument("--quick", action="store_true", help="small shapes for smoke runs")
     parser.add_argument(
+        "--noise-sweep", default=None, metavar="F0,F1,...",
+        help="accuracy-margin audit: sweep the planted-NN noise fraction "
+        "and print error/agreement for e2e-packed, approx-select and int8 "
+        "match paths (e.g. 0.2,0.4,0.6,0.8,0.9,0.95)",
+    )
+    parser.add_argument(
         "--quant", action="store_true",
         help="bf config: int8-quantized gallery scan + exact bf16 rescore",
     )
@@ -613,6 +692,9 @@ def main() -> None:
     )
     args = parser.parse_args()
 
+    if args.noise_sweep:
+        bench_noise_sweep(_apply_defaults(args, "e2e"))
+        return
     if args.all:
         for config in ("bf", "dem", "cascade", "video", "e2e"):
             try:

@@ -226,18 +226,25 @@ def main() -> None:
         })
 
     # ---- 4. one fused single-dispatch point ------------------------------ #
+    # Steady-state timing discipline matches the no-exit baseline: queue
+    # ``iters`` whole-cascade dispatches, ONE host fetch at the end (the
+    # tunnel's block_until_ready is a no-op; per-call fetches would charge
+    # one RTT per pool to the cascade but 1/iters RTT to the baseline).
     c = cascades[args.fused_far]
     pipe.coefs = [jnp.asarray(w, jnp.float32) for w in c.coefs]
     pipe.intercepts = [jnp.asarray(b, jnp.float32) for b in c.intercepts]
     pipe.thresholds = list(c.thresholds[:-1])
     pipe.calibrate(tr_imgs[: min(len(tr_imgs), 512)], tune=False)
-    pipe.predict_fused(pool_imgs)  # compile + warm
-    best = None
+    rr = pipe.predict_fused(pool_imgs)  # compile + warm + bookkeeping
+    fused_fn = pipe._fused_fns[list(pipe._fused_fns)[-1]]  # just compiled
+    t0 = time.perf_counter()
     for _ in range(args.iters):
-        rr = pipe.predict_fused(pool_imgs)
-        if best is None or rr.ms_per_image < best.ms_per_image:
-            best = rr
-    recall = macro_recall_percent(pool_y, best.predictions, num_classes)
+        out = fused_fn(pipe._seg_params, pool_imgs)
+    packed = np.asarray(out)  # one fetch for the queued dispatches
+    fused_ms = (time.perf_counter() - t0) / args.iters * 1e3
+    b = args.pool
+    preds_f = packed[:b].astype(np.int64)
+    recall = macro_recall_percent(pool_y, preds_f, num_classes)
     emit({
         "config": "cascade_trained_fused",
         "dataset": "digits",
@@ -245,9 +252,9 @@ def main() -> None:
         "resolution": res,
         "far": args.fused_far,
         "macro_recall_pct": round(recall, 2),
-        "img_per_s": round(1000.0 / best.ms_per_image, 1),
-        "break_counts": [round(float(b), 4) for b in best.break_counts],
-        "forced_fraction": round(best.forced_fraction, 4),
+        "img_per_s": round(args.pool / fused_ms * 1e3, 1),
+        "break_counts": [round(float(x), 4) for x in rr.break_counts],
+        "forced_fraction": round(rr.forced_fraction, 4),
     })
 
     if args.out:
