@@ -358,7 +358,38 @@ def _sw_search_routed(
     better = front_d[:, 0] < best_d
     best_d = jnp.where(better, front_d[:, 0], best_d)
     best_id = jnp.where(better, front_ids[:, 0], best_id)
-    return best_id, best_d, checked
+    # final beam also returned: the PCA-space mode rescores it in full D
+    return best_id, best_d, checked, front_ids
+
+
+@partial(jax.jit, static_argnames=("pca_dim",))
+def rescore_full_d(
+    q_full: jax.Array,  # [B, D]
+    best_id: jax.Array,  # [B]
+    front_ids: jax.Array,  # [B, beam] final beam from the walk
+    checked_walk: jax.Array,  # [B] walk-space probe counts
+    gallery: jax.Array,  # [N, D] full-D rows
+    gallery_sqnorm: jax.Array,  # [N]
+    pca_dim: int,
+):
+    """Exact full-D rescore of a PCA-space walk's final beam (+ its global
+    best): the candidates+rescore contract of the e2e match applied to the
+    graph search. ``checked`` converts to full-D-equivalent distance
+    computations (walk probes cost pca_dim/D each; the rescores cost 1
+    each) so checked_fraction stays comparable with DEM/BF accounting."""
+    d = q_full.shape[1]
+    ids = jnp.concatenate([best_id[:, None], front_ids], axis=1)
+    feats = gallery[ids]  # [B, R, D]
+    dots = jnp.einsum(
+        "brd,bd->br", feats, q_full, preferred_element_type=jnp.float32
+    )
+    qn = jnp.sum(q_full * q_full, axis=1)
+    dist = (qn[:, None] + gallery_sqnorm[ids] - 2.0 * dots) / d
+    j = jnp.argmin(dist, axis=1)
+    out_i = jnp.take_along_axis(ids, j[:, None], 1)[:, 0]
+    out_d = jnp.take_along_axis(dist, j[:, None], 1)[:, 0]
+    eq = checked_walk.astype(jnp.float32) * (pca_dim / d) + ids.shape[1]
+    return out_i, out_d, eq
 
 
 class SmallWorldMatcher:
@@ -374,6 +405,7 @@ class SmallWorldMatcher:
         image_count_to_check: int = 0,
         seed: int = 0,
         sample_pool: int = 8192,
+        pca_dim: int = 0,  # >0: build + walk in a PCA projection
     ):
         self.name = f"small_world_rand(NN={k_nn + k_rand},beam={beam})"
         self._n, self._d = gallery_features.shape
@@ -381,8 +413,35 @@ class SmallWorldMatcher:
         self.seed = seed
         self.gallery = jax.device_put(jnp.asarray(gallery_features, jnp.float32))
         self.gallery_sqnorm = jnp.sum(self.gallery * self.gallery, axis=1)
+        self.pca_dim = int(pca_dim) if 0 < pca_dim < self._d else 0
+        if self.pca_dim:
+            # PCA-space graph (VERDICT r3 #3): neighborhoods in the
+            # pca_dim projection are the candidates+rescore trick of the
+            # e2e match applied to the graph — gathers shrink D/P-fold,
+            # the O(N^2) build runs over the projected gallery, and the
+            # same arithmetic budget buys D/P more walk probes. The final
+            # beam is rescored EXACTLY in full D below.
+            from fast_image_recognition_tpu.ops.pca import fit_pca
+
+            g_host = np.asarray(gallery_features, np.float32)
+            sample = g_host[: min(self._n, 8192)]
+            pca = fit_pca(sample, num_components=self.pca_dim)
+            self._mu = jnp.asarray(pca.mean, jnp.float32)
+            self._w = jnp.asarray(pca.components.T, jnp.float32)  # [D, P]
+            self._walk_gallery = jax.jit(
+                lambda g: (g - self._mu) @ self._w
+            )(self.gallery)
+            self._walk_sqnorm = jnp.sum(
+                self._walk_gallery * self._walk_gallery, axis=1
+            )
+            self._budget_scale = max(1, self._d // self.pca_dim)
+            self.name += f",pca{self.pca_dim}"
+        else:
+            self._walk_gallery = self.gallery
+            self._walk_sqnorm = self.gallery_sqnorm
+            self._budget_scale = 1
         self.neighbors = build_neighbor_table(
-            self.gallery, k_nn=k_nn, k_rand=k_rand, seed=seed
+            self._walk_gallery, k_nn=k_nn, k_rand=k_rand, seed=seed
         )
         # seeded routing pool: a fixed permutation sample; search slices the
         # first S = min(pool, max(4*beam, budget//2)) rows (budget-scaled)
@@ -393,12 +452,15 @@ class SmallWorldMatcher:
         )
         self.set_budget(image_count_to_check)
 
-    def _sample_size(self) -> int:
+    def _sample_size(self, walk_budget: int) -> int:
+        """Routing-scan size in WALK-space probe units (= the budget the
+        walk itself is metered in, so pca mode routes D/P more broadly for
+        the same arithmetic)."""
         beam = min(self.beam, self._n)
         s = min(
             int(self._sample_pool.shape[0]),
-            max(4 * beam, self.budget // 2),
-            max(beam, self.budget),  # never let routing alone blow the budget
+            max(4 * beam, walk_budget // 2),
+            max(beam, walk_budget),  # never let routing alone blow the budget
         )
         return max(beam, (s // beam) * beam)  # multiple of beam, >= beam
 
@@ -439,30 +501,58 @@ class SmallWorldMatcher:
         (kernel-level testing / NMSLIB-walk parity)."""
         beam = min(self.beam, self._n)
         k = int(self.neighbors.shape[1])
-        # Every step expands >=1 beam slot and each beam entrant was a
-        # counted evaluation, so <= budget + beam expansions can ever
-        # happen; the cap below is a safety net, not the usual stop.
-        max_steps = self.budget + beam * k + 8
         if entries is not None:
+            # pure graph walk from explicit entries (kernel-level testing);
+            # always in the walk space
+            q = jnp.asarray(queries_dev, jnp.float32)
+            if self.pca_dim:
+                q = (q - self._mu) @ self._w
+            max_steps = self.budget + beam * k + 8
             return _sw_search(
-                jnp.asarray(queries_dev, jnp.float32),
-                self.gallery,
-                self.gallery_sqnorm,
+                q,
+                self._walk_gallery,
+                self._walk_sqnorm,
                 self.neighbors,
                 entries,
                 beam=beam,
                 budget=self.budget,
                 max_steps=max_steps,
             )
-        return _sw_search_routed(
-            jnp.asarray(queries_dev, jnp.float32),
-            self.gallery,
-            self.gallery_sqnorm,
+        # PCA mode: the same ARITHMETIC budget buys D/P walk probes per
+        # full-D equivalent (each PCA distance costs pca_dim/D of a full
+        # one); the beam+1 exact rescores are charged at full weight.
+        if self.pca_dim:
+            walk_budget = min(
+                self._n, max(1, self.budget - beam - 1) * self._budget_scale
+            )
+        else:
+            walk_budget = self.budget
+        # Every step expands >=1 beam slot and each beam entrant was a
+        # counted evaluation, so <= budget + beam expansions can ever
+        # happen; the cap below is a safety net, not the usual stop.
+        max_steps = walk_budget + beam * k + 8
+        q_full = jnp.asarray(queries_dev, jnp.float32)
+        q_walk = (
+            (q_full - self._mu) @ self._w if self.pca_dim else q_full
+        )
+        best_id, best_d, checked, front_ids = _sw_search_routed(
+            q_walk,
+            self._walk_gallery,
+            self._walk_sqnorm,
             self.neighbors,
-            self._sample_pool[: self._sample_size()],
+            self._sample_pool[: self._sample_size(walk_budget)],
             beam=beam,
-            budget=self.budget,
+            budget=walk_budget,
             max_steps=max_steps,
+        )
+        if not self.pca_dim:
+            return best_id, best_d, checked
+        return self._rescore_full(q_full, best_id, front_ids, checked)
+
+    def _rescore_full(self, q_full, best_id, front_ids, checked_walk):
+        return rescore_full_d(
+            q_full, best_id, front_ids, checked_walk,
+            self.gallery, self.gallery_sqnorm, self.pca_dim,
         )
 
     def search(self, queries: np.ndarray):

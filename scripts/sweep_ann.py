@@ -167,6 +167,11 @@ def main() -> None:
                              "small_world_rand at checked ~25-50%%, "
                              "ann.cpp:61-70); the DEM grid's 0.1-2%% stalls "
                              "it at the random entry points")
+    parser.add_argument("--sw-pca-dim", type=int, default=0,
+                        help="small_world: build + walk the graph in a PCA "
+                             "projection of this dim (full-D exact rescore "
+                             "of the final beam; budget in full-D-"
+                             "equivalent units buys D/P more walk probes)")
     args = parser.parse_args()
     if args.intrinsic_dim and args.intrinsic_dim >= args.dim:
         parser.error(
@@ -197,9 +202,13 @@ def main() -> None:
             )
 
             t0 = time.perf_counter()
-            sw = SmallWorldMatcher(g.astype(jnp.float32), seed=0, beam=12)
+            sw = SmallWorldMatcher(
+                g.astype(jnp.float32), seed=0, beam=12,
+                pca_dim=args.sw_pca_dim,
+            )
             sw_build_s = time.perf_counter() - t0
-            print(f"small_world build at N={n}: {sw_build_s:.1f}s", flush=True)
+            print(f"small_world build at N={n} ({sw.name}): "
+                  f"{sw_build_s:.1f}s", flush=True)
 
         for b in [int(x) for x in args.batches.split(",")]:
             inner = _inner_for(b)
@@ -287,26 +296,49 @@ def main() -> None:
             if sw is not None:
                 from fast_image_recognition_tpu.search.small_world import (
                     _sw_search_routed,
+                    rescore_full_d,
                 )
 
                 beam = min(sw.beam, sw._n)
                 for frac in [float(x) for x in args.sw_budgets.split(",")]:
                     sw.set_budget(max(1, int(frac * n)))
-                    max_steps = sw.budget + beam * int(sw.neighbors.shape[1]) + 8
-                    sample = sw._sample_pool[: sw._sample_size()]
+                    if sw.pca_dim:
+                        walk_budget = min(
+                            n, max(1, sw.budget - beam - 1) * sw._budget_scale
+                        )
+                    else:
+                        walk_budget = sw.budget
+                    max_steps = (
+                        walk_budget + beam * int(sw.neighbors.shape[1]) + 8
+                    )
+                    sample = sw._sample_pool[: sw._sample_size(walk_budget)]
+
+                    def sw_search(q, wgal, wgsq, nbrs, smp, gal, gsq,
+                                  _b=walk_budget, _m=max_steps):
+                        q_walk = (
+                            (q - sw._mu) @ sw._w if sw.pca_dim else q
+                        )
+                        bid, bd, chk, front = _sw_search_routed(
+                            q_walk, wgal, wgsq, nbrs, smp,
+                            beam=beam, budget=_b, max_steps=_m,
+                        )
+                        if not sw.pca_dim:
+                            return bid
+                        out_i, _, _ = rescore_full_d(
+                            q, bid, front, chk, gal, gsq, sw.pca_dim
+                        )
+                        return out_i
+
                     sw_run = _scan_searches(
-                        lambda q, gal, gsq, nbrs, smp, _b=sw.budget, _m=max_steps: (
-                            _sw_search_routed(
-                                q, gal, gsq, nbrs, smp,
-                                beam=beam, budget=_b, max_steps=_m,
-                            )
-                        ),
-                        lambda o: o[0],
+                        sw_search,
+                        lambda o: o,
                         pstack,
-                        sw.gallery,
-                        sw.gallery_sqnorm,
+                        sw._walk_gallery,
+                        sw._walk_sqnorm,
                         sw.neighbors,
                         sample,
+                        sw.gallery,
+                        sw.gallery_sqnorm,
                     )
                     sw_sec = (
                         _time_queued(sw_run, lambda o: o, max(2, iters // 4))
@@ -319,6 +351,7 @@ def main() -> None:
                     )
                     rec = {
                         "method": "small_world",
+                        **({"pca_dim": sw.pca_dim} if sw.pca_dim else {}),
                         "gallery": n,
                         "batch": b,
                         "budget_frac": frac,

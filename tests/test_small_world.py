@@ -115,6 +115,55 @@ def test_routed_search_uses_budget_and_improves(dataset):
     assert agree_loose >= max(agree_tight, 0.9)
 
 
+def test_pca_space_walk_with_full_rescore():
+    """pca_dim mode (VERDICT r3 #3): graph build + routed walk in the PCA
+    projection, exact full-D rescore of the final beam. The projection is
+    lossy on isotropic data (PCA-16 of 200 isotropic class directions
+    scores FAR worse — the documented negative result), so the win
+    condition is data with low INTRINSIC dimension: here D=96 features on
+    a 16-d latent manifold, where PCA-16 is information-preserving and the
+    walk gets D/P = 6x probes for the same arithmetic budget."""
+    rng = np.random.default_rng(3)
+    n_classes, per, lat, d = 200, 10, 16, 96
+    basis = rng.standard_normal((lat, d)).astype(np.float32)
+    centers = rng.standard_normal((n_classes, lat)).astype(np.float32) * 3
+    z = np.repeat(centers, per, axis=0) + 0.3 * rng.standard_normal(
+        (n_classes * per, lat)
+    ).astype(np.float32)
+    g = z @ basis + 0.01 * rng.standard_normal(
+        (n_classes * per, d)
+    ).astype(np.float32)
+    pz = centers + 0.3 * rng.standard_normal((n_classes, lat)).astype(
+        np.float32
+    )
+    p = pz @ basis
+    n = g.shape[0]
+    bf = BruteForceMatcher(g)
+    want = bf.search(p)
+
+    m_pca = SmallWorldMatcher(g, seed=0, beam=8, pca_dim=lat)
+    m_full = SmallWorldMatcher(g, seed=0, beam=8)
+    budget = n // 10
+    m_pca.set_budget(budget)
+    m_full.set_budget(budget)
+    r_pca = m_pca.search(p)
+    r_full = m_full.search(p)
+    agree_pca = float(np.mean(r_pca.indices == want.indices))
+    agree_full = float(np.mean(r_full.indices == want.indices))
+    assert agree_pca >= agree_full - 0.02  # never worse at equal budget
+    assert agree_pca >= 0.5
+    # exact distances on agreeing rows (full-D rescore, not PCA estimates)
+    same = r_pca.indices == want.indices
+    np.testing.assert_allclose(
+        r_pca.distances[same], want.distances[same], rtol=1e-4, atol=1e-5
+    )
+    # full-D-equivalent accounting: walk probes cost P/D each, so the
+    # equivalent count stays within the budget + one expansion wave
+    k = int(np.asarray(m_pca.neighbors).shape[1])
+    wave_eq = (m_pca.beam * k + m_pca.beam) * (lat / d) + m_pca.beam + 1
+    assert (r_pca.checked_fraction * n <= budget + wave_eq + 1e-4).all()
+
+
 def test_packed_visited_bitmap_at_scale():
     """The visited state is bit-packed [B, ceil(N/32)] uint32 — at 100k+
     rows the search must run (a [B, N] bool map would be the old 1 GB/1M-row
