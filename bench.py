@@ -110,7 +110,20 @@ def _planted_gallery_device(
     [n_pad, D] device array, true_idx). Rows are generated directly in
     bf16 and row-normalized with fp32 accumulation; planted rows come from
     ``_perturbed_copies`` in fp32. n_pad rounds up to the kernel tile (pad
-    rows are masked by n_valid everywhere)."""
+    rows are masked by n_valid everywhere).
+
+    When query embeddings are given, the non-planted rows are drawn from
+    the SAME distribution as the queries — ``normalize(c + s*noise)`` with
+    ``c`` the query mean and ``s`` the query spread — matching recognition
+    semantics (the gallery IS the same extractor's output,
+    db_features.cpp:44-116 loads one feature file for both sides). This is
+    load-bearing for the fast match paths: untrained backbones emit
+    near-collapsed embeddings (IRv2: inter-query dist^2 ~2e-4 around a
+    unit-norm mean), and an isotropic random gallery hides that common
+    direction from the service's PCA mean — the bf16 candidate scan then
+    rounds away the entire planted margin (measured: 16% agreement). A
+    same-distribution gallery lets mean-centering remove the collapse,
+    exactly as it does on real galleries."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -122,25 +135,51 @@ def _planted_gallery_device(
 
     if b:
         planted = _perturbed_copies(emb, rng, noise_frac)
+        center = emb.mean(axis=0).astype(np.float32)
+        # RMS query-to-center distance = the cluster scale s
+        spread = float(
+            np.sqrt(np.mean(np.sum((emb - center) ** 2, axis=1)))
+        )
+        spread = max(spread, 1e-20)
     else:  # plain gallery, nothing to plant (bf config makes its own queries)
         planted = emb
+        center = np.zeros((dim,), np.float32)
+        spread = 1.0
+
+    # fp32 row generation chunked so the intermediate stays ~100s of MB
+    # (a full fp32 [1M, 1536] draw would hold 6 GB next to the 3 GB output)
+    chunk = 1024
+    while chunk * 2 <= 65536 and n_pad % (chunk * 2) == 0:
+        chunk *= 2
+    n_chunks = n_pad // chunk
 
     @jax.jit
-    def build(key, planted, rows):
-        g = jax.random.normal(key, (n_pad, dim), jnp.bfloat16)
-        inv = jax.lax.rsqrt(
-            jnp.maximum(
-                jnp.einsum("nd,nd->n", g, g, preferred_element_type=jnp.float32),
-                1e-30,
+    def build(key, planted, rows, center, spread):
+        keys = jax.random.split(key, n_chunks)
+
+        def mk(k):
+            noise = jax.random.normal(k, (chunk, dim), jnp.float32)
+            rowsf = center[None, :] + spread * noise
+            inv = jax.lax.rsqrt(
+                jnp.maximum(
+                    jnp.einsum(
+                        "nd,nd->n", rowsf, rowsf,
+                        preferred_element_type=jnp.float32,
+                    ),
+                    1e-30,
+                )
             )
-        )
-        g = g * inv[:, None].astype(jnp.bfloat16)
+            return (rowsf * inv[:, None]).astype(jnp.bfloat16)
+
+        g = jax.lax.map(mk, keys).reshape(n_pad, dim)
         return g.at[rows].set(planted.astype(jnp.bfloat16))
 
     gal = build(
         jax.random.PRNGKey(seed),
         jnp.asarray(planted),
         jnp.asarray(true_idx, jnp.int32),
+        jnp.asarray(center),
+        jnp.float32(spread),
     )
     return gal, true_idx
 

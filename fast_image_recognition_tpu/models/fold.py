@@ -229,6 +229,12 @@ def make_serving_fn(
         if family in _VALID_STEM_TF:
             variables = fold_tf_preprocess_into_valid_stem(variables)
             pp_folded = True
+    # The fold works on host numpy leaves; pin the result to device ONCE.
+    # Without this every serving dispatch re-uploads the whole param set
+    # (measured: the folded InceptionResNetV2 forward ran at 45 img/s on a
+    # tunneled v5e — 5.75 s/batch ≈ 224 MB of fp32 params re-shipped per
+    # call; a no-op for pytrees that are already device-resident).
+    variables = jax.device_put(variables)
 
     def fn(variables, images):
         if pp_folded:
