@@ -242,6 +242,11 @@ def bench_e2e(args) -> None:
     gallery, true_idx = _planted_gallery_device(args.gallery, emb0)
     n = args.gallery
 
+    if args.extract == "cascade":
+        _bench_e2e_cascade(args, model, variables, info, gallery, images,
+                           emb0, true_idx, res, n)
+        return
+
     service = RecognitionService(
         model, variables, info, gallery,
         n_valid=n, resolution=res, match=args.match,
@@ -281,6 +286,61 @@ def bench_e2e(args) -> None:
         sec_per_iter=sec,
         error_pct=error_pct,
         agreement_pct=agreement_pct,
+    )
+
+
+def _bench_e2e_cascade(
+    args, model, variables, info, gallery, images, emb0, true_idx,
+    res: int, n: int,
+) -> None:
+    """--extract cascade: the early-exit serving path
+    (serving.CascadeRecognitionService) on the same planted workload as
+    the exact e2e — ratio-rule exits on readout-predicted embeddings, one
+    dispatch per batch. Audited exactly like the exact path: error vs the
+    planted truth, agreement vs the fp32 exact scan of the FULL path."""
+    import numpy as np
+
+    from fast_image_recognition_tpu.serving import CascadeRecognitionService
+
+    taps = args.exit_taps.split(",") if args.exit_taps else None
+    svc = CascadeRecognitionService(
+        model, variables, info, gallery,
+        n_valid=n, resolution=res, taps=taps,
+        pca_dim=args.pca_dim, rescore=args.rescore,
+        ratio=args.cascade_ratio,
+    )
+    fracs = svc.calibrate(images, slack=args.slack)
+    caps = svc.capacities_for(args.batch)
+
+    out = svc.identify_device(images)  # compile + warm
+    packed = np.asarray(out)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = svc.identify_device(images)
+    packed = np.asarray(out)
+    sec = (time.perf_counter() - t0) / args.iters
+    ips = args.batch / sec
+
+    b = args.batch
+    idx_fast = packed[:b].astype(np.int64)
+    exit_level = packed[b : 2 * b]
+    idx_exact = _exact_fp32_nn(emb0, gallery, n)
+    _emit(
+        f"images/sec/chip end-to-end ({args.variant} cascade-extract "
+        f"taps={'/'.join(svc.taps)} ratio={svc.ratio} + 1-NN "
+        f"pca{svc.pca_dim}[packed]+rescore{svc.rescore} vs {n} gallery)",
+        ips,
+        "images/sec/chip",
+        10_000.0,
+        sec_per_iter=sec,
+        error_pct=100.0 * float(np.mean(idx_fast != true_idx)),
+        agreement_pct=100.0 * float(np.mean(idx_fast == idx_exact)),
+        exit_fractions=(
+            np.bincount(exit_level, minlength=svc.num_levels) / b
+        ).round(4).tolist(),
+        survivor_fractions=[round(f, 4) for f in fracs],
+        capacities=list(caps),
+        forced_fraction=round(float(packed[2 * b]) / b, 4),
     )
 
 
@@ -328,7 +388,9 @@ def bench_noise_sweep(args) -> None:
         ("int8", dict(match="int8")),
     ]
     noises = [float(x) for x in args.noise_sweep.split(",")]
+    gallery = None
     for noise in noises:
+        del gallery  # free the previous point's 2.6 GB BEFORE the rebuild
         gallery, true_idx = _planted_gallery_device(
             n, emb0, noise_frac=noise
         )
@@ -342,6 +404,9 @@ def bench_noise_sweep(args) -> None:
                 pca_sample=2048, serving_fn=passthrough, **kw,
             )
             idx_fast = np.asarray(svc.identify_device(jnp.asarray(emb0)))
+            # free the derived match assets (int8/packed copies) before
+            # the next mode builds its own — HBM holds ONE mode at a time
+            del svc
             print(json.dumps({
                 "metric": f"noise-margin audit ({name})",
                 "noise_frac": noise,
@@ -673,6 +738,22 @@ def main() -> None:
         choices=["pca", "exact", "int8"],
         help="e2e match path: pca candidates + full-D rescore, exact, or "
         "int8 quantized scan + exact rescore",
+    )
+    parser.add_argument(
+        "--extract", default="exact", choices=["exact", "cascade"],
+        help="e2e extract path: the full folded forward, or the early-exit "
+        "serving cascade (readout-predicted embeddings + d1/d2 ratio-rule "
+        "exits, serving.CascadeRecognitionService)",
+    )
+    parser.add_argument(
+        "--cascade-ratio", type=float, default=0.7,
+        help="--extract cascade: exit when the rescored 1-NN distance "
+        "ratio d1/d2 < this (the reference's 0.7, ImageTesting.cpp:533)",
+    )
+    parser.add_argument(
+        "--exit-taps", default=None, metavar="block5c,block6a",
+        help="--extract cascade: comma-separated tap block names "
+        "(default: the family's 'early' preset, first two)",
     )
     # 124-d candidate projection + packed scan + 48-tile full-D rescore:
     # measured best e2e operating point (the candidate scan is VPU-epilogue
