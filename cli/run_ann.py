@@ -25,10 +25,12 @@ def main() -> None:
     parser.add_argument(
         "--methods",
         nargs="*",
-        default=["dem", "proj", "sw"],
+        default=["dem", "proj"],
         choices=["dem", "dem-gather", "dem-full", "proj", "sw", "kdtree"],
         help="budgeted methods to sweep "
-        "(the reference compares DEM vs FLANN vs NMSLIB, ann.cpp:55-70)",
+        "(the reference compares DEM vs FLANN vs NMSLIB, ann.cpp:55-70; "
+        "'sw' is off by default — a measured negative result on TPU, see "
+        "search/small_world.py)",
     )
     args = parser.parse_args()
 

@@ -54,6 +54,24 @@ equidistant (concentration of measure), so error is dominated by whether
 the sample scan hits the true identity; DEM's pivot triangulation beats it
 at every operating point, which is the reference paper's own thesis
 (small_world is its weak baseline, ann.cpp:216-218 keeps it compiled out).
+
+DOCUMENTED NEGATIVE RESULT (round 4). ``pca_dim`` builds and walks the
+graph in PCA space with an exact full-D beam rescore — the same
+candidates+rescore contract as the serving match path. That FIXED the
+accuracy axis (benchmarks/ann_crossover_r4.jsonl: 0% error at ~4.8% of
+the gallery checked, vs 59% error in round 3), but the throughput axis
+still loses everywhere: 25 q/s at B=1 / 62 q/s at B=32 against brute
+force's 2,351 / 72,361 on the same 102,400-row gallery — the while_loop
+walk dispatches hundreds of dependent gather+einsum waves where the
+brute-force kernel streams the whole gallery through the MXU in one.
+On TPU the crossover where pointer-chasing beats streaming does not
+exist at these gallery sizes: the MXU's sequential-scan rate is ~3
+orders of magnitude above the gather rate, so "check 5% of rows in 300
+waves" loses to "check 100% of rows in one dispatch". Kept as the
+working NMSLIB-counterpart (correctness-tested, budget-accounted) and as
+this measured negative result; dropped from ``cli/run_ann.py`` defaults
+— use DEM (pivot triangulation, one matmul per wave) for budgeted search
+on TPU.
 """
 
 from __future__ import annotations
