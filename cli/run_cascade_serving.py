@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -60,6 +61,11 @@ def main() -> None:
     parser.add_argument("--slack", type=float, default=1.3)
     parser.add_argument("--out", default="benchmarks/cascade_serving_r4.jsonl")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--ckpt", default="benchmarks/trained_{variant}_{res}_s{seed}.npz",
+        help="trained-weights cache — reruns skip the ~11 min fine-tune",
+    )
+    parser.add_argument("--retrain", action="store_true")
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -105,13 +111,48 @@ def main() -> None:
         seed=args.seed,
     )
     trainer = MultiExitTrainer(model, variables, cfg)
-    t0 = time.perf_counter()
-    trainer.fit(tr_imgs, tr_y, va_imgs, va_y, verbose=True)
-    acc = trainer.evaluate(va_imgs, va_y)
-    print(
-        f"trained in {time.perf_counter() - t0:.0f}s; "
-        f"final-head val acc {acc:.4f}", flush=True,
+    ckpt = args.ckpt.format(variant=args.variant, res=res, seed=args.seed)
+    state_tpl = lambda: {  # noqa: E731
+        "params": trainer.params,
+        "batch_stats": trainer.batch_stats,
+        "heads": trainer.heads,
+    }
+    if os.path.exists(ckpt) and not args.retrain:
+        from fast_image_recognition_tpu.utils.checkpoint import load_variables
+
+        state = load_variables(ckpt, state_tpl())
+        trainer.params = state["params"]
+        trainer.batch_stats = state["batch_stats"]
+        trainer.heads = state["heads"]
+        acc = trainer.evaluate(va_imgs, va_y)
+        print(f"loaded {ckpt}; final-head val acc {acc:.4f}", flush=True)
+    else:
+        from fast_image_recognition_tpu.utils.checkpoint import save_variables
+
+        t0 = time.perf_counter()
+        trainer.fit(tr_imgs, tr_y, va_imgs, va_y, verbose=True)
+        acc = trainer.evaluate(va_imgs, va_y)
+        print(
+            f"trained in {time.perf_counter() - t0:.0f}s; "
+            f"final-head val acc {acc:.4f}", flush=True,
+        )
+        save_variables(ckpt, state_tpl())
+
+    # the folded serving stem consumes RAW 0..255 images — the MBConv fold
+    # bakes (x - MEAN_RGB)/STDDEV_RGB into the stem conv
+    # (models/inference.py::fold_preprocess_into_stem), while training fed
+    # the [-1, 1] digits images directly as already-preprocessed values.
+    # Invert the fold's normalization for every serving-surface input so
+    # the folded stem reproduces exactly what the trainer saw.
+    from fast_image_recognition_tpu.models.efficientnet import (
+        MEAN_RGB,
+        STDDEV_RGB,
     )
+
+    mean = np.asarray(MEAN_RGB, np.float32)
+    std = np.asarray(STDDEV_RGB, np.float32)
+    tr_serve = tr_imgs * std + mean
+    va_serve = va_imgs * std + mean
 
     # ---- 2. gallery: trained final embeddings of the train images ----- #
     exact = RecognitionService(
@@ -119,8 +160,8 @@ def main() -> None:
         dtype=np.float32), resolution=res, match="exact",
     )
     gal = np.concatenate([
-        exact.embed(jnp.asarray(tr_imgs[s : s + 512]))
-        for s in range(0, len(tr_imgs), 512)
+        exact.embed(jnp.asarray(tr_serve[s : s + 512]))
+        for s in range(0, len(tr_serve), 512)
     ])
     print(f"gallery {gal.shape} from trained embeddings", flush=True)
 
@@ -130,7 +171,7 @@ def main() -> None:
     )
 
     pool_idx = np.resize(np.arange(len(va_y)), args.pool)
-    pool_imgs = jnp.asarray(va_imgs[pool_idx])
+    pool_imgs = jnp.asarray(va_serve[pool_idx])
     pool_y = va_y[pool_idx]
 
     def timed(fn):
@@ -169,11 +210,11 @@ def main() -> None:
         model, trainer.variables, info, gal,
         labels=tr_y, resolution=res, taps=serve_taps, grid=args.grid,
         pca_dim=args.pca_dim, rescore=args.rescore, d2_rule="class",
-        calib_images=tr_imgs[: (len(tr_imgs) // 512) * 512],
+        calib_images=tr_serve[: (len(tr_serve) // 512) * 512],
         calib_batch=512, seed=args.seed,
     )
     calib_pool = jnp.asarray(
-        tr_imgs[np.resize(np.arange(len(tr_y)), args.pool)]
+        tr_serve[np.resize(np.arange(len(tr_y)), args.pool)]
     )
     for ratio in [float(r) for r in args.ratio_sweep.split(",")]:
         svc.ratio = ratio
