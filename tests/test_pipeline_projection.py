@@ -110,6 +110,78 @@ def test_kdtree_degenerate_split_duplicates():
     assert np.all(np.isclose(g[res.indices], g[exact], atol=1e-6))
 
 
+def test_heap_push_pop_matches_heapq():
+    """Property test for the vectorized lockstep binary heap
+    (projection._heap_push/_heap_pop): random interleaved push/pop
+    sequences on a batch of independent heaps must pop exactly what a
+    per-probe ``heapq`` pops, in the same order (ties broken by bound
+    only — node payloads ride along)."""
+    import heapq
+
+    from fast_image_recognition_tpu.search.projection import (
+        _heap_pop,
+        _heap_push,
+    )
+
+    rng = np.random.default_rng(7)
+    B, H, STEPS = 9, 128, 400
+    hb = np.full((B, H), np.inf, np.float32)
+    hn = np.zeros((B, H), np.int32)
+    hs = np.zeros(B, np.int64)
+    refs = [[] for _ in range(B)]
+    next_node = 0
+    for step in range(STEPS):
+        # random subset of probes takes part in each op (mirrors the
+        # live/active row filtering the search loop does)
+        rows = np.nonzero(rng.random(B) < 0.6)[0]
+        if len(rows) == 0:
+            continue
+        if rng.random() < 0.6 or any(len(refs[r]) == 0 for r in rows):
+            bounds = rng.random(len(rows)).astype(np.float32)
+            nodes = np.arange(next_node, next_node + len(rows), dtype=np.int32)
+            next_node += len(rows)
+            _heap_push(hb, hn, hs, rows, bounds, nodes)
+            for r, b, nd in zip(rows, bounds, nodes):
+                heapq.heappush(refs[r], (np.float32(b), int(nd)))
+        else:
+            bound, node = _heap_pop(hb, hn, hs, rows)
+            for k, r in enumerate(rows):
+                eb, en = heapq.heappop(refs[r])
+                assert bound[k] == eb
+                # equal bounds may legally order nodes differently; with
+                # float32 uniforms collisions are absent at this scale, so
+                # payloads must agree too
+                assert node[k] == en
+    # drain every heap completely and compare full pop order
+    for r in range(B):
+        while refs[r]:
+            bound, node = _heap_pop(hb, hn, hs, np.asarray([r]))
+            eb, en = heapq.heappop(refs[r])
+            assert bound[0] == eb and node[0] == en
+    assert (hs == 0).all()
+    # pop-side invariant: vacated slots are re-primed to +inf so future
+    # sift-downs need no size masks
+    assert np.isinf(hb).all()
+
+
+@pytest.mark.parametrize("budget_frac", [0.0, 0.25])
+def test_kdtree_batched_equals_single(sets, budget_frac):
+    """The lockstep batch traversal is an amortization, not an
+    approximation: searching probes together must return exactly what
+    searching each alone does (indices, distances, checked counts)."""
+    g, gl, p, pl = sets
+    m = KDTreeMatcher(g, seed=11)
+    m.set_budget(int(budget_frac * g.shape[0]))
+    batched = m.search(p)
+    for i in range(0, p.shape[0], 5):
+        single = m.search(p[i : i + 1])
+        assert single.indices[0] == batched.indices[i]
+        np.testing.assert_allclose(
+            single.distances[0], batched.distances[i], rtol=1e-6
+        )
+        assert single.checked_fraction[0] == batched.checked_fraction[i]
+
+
 def test_create_image_lists(tmp_path):
     from PIL import Image
 
