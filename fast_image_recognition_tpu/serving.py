@@ -810,10 +810,14 @@ class CascadeRecognitionService:
         alive = np.ones(b, dtype=bool)
         fractions: List[float] = []
         if self._match2_jit is None:
+            # gallery tensors enter as ARGUMENTS — a closure capture here
+            # bakes the full-D gallery (~2.7 GB at 1M rows) into the
+            # lowered module as a constant (slow lowering + a duplicate
+            # HBM allocation in the executable)
             self._match2_jit = jax.jit(
-                lambda e: self._match_top2(e, self._gal_aug, self.gallery)
+                lambda e, ga, g: self._match_top2(e, ga, g)
             )
-        match2 = self._match2_jit
+        match2 = lambda e: self._match2_jit(e, self._gal_aug, self.gallery)
         for level in range(self.num_levels - 1):
             A = self._readouts[level]
             emb = self._normalize(
