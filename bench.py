@@ -309,7 +309,14 @@ def _bench_e2e_cascade(
         pca_dim=args.pca_dim, rescore=args.rescore,
         ratio=args.cascade_ratio,
     )
-    fracs = svc.calibrate(images, slack=args.slack)
+    # calibrate on a HELD-OUT draw (ADVICE r4): fitting capacities to the
+    # measured batch guarantees forced_fraction ~ 0 by construction; a
+    # second image draw from the same distribution is the honest pool
+    rng = np.random.default_rng(1)
+    calib_images = rng.integers(
+        0, 255, images.shape, dtype=np.int64
+    ).astype(np.uint8)
+    fracs = svc.calibrate(calib_images, slack=args.slack)
     caps = svc.capacities_for(args.batch)
 
     out = svc.identify_device(images)  # compile + warm
@@ -382,7 +389,11 @@ def bench_noise_sweep(args) -> None:
     # pass-through "backbone": images ARE the embeddings
     passthrough = (lambda v, im: {"embedding": im}, None)
     modes = [
+        # default path: packed scan + second-min certificate + lax.cond
+        # escalation to the exact scan on uncertified probes (r5)
         ("e2e-packed", dict(match="pca", pca_scan="packed", select="exact")),
+        ("packed-noesc", dict(match="pca", pca_scan="packed",
+                              select="exact", escalate=None)),
         ("approx-select", dict(match="pca", pca_scan="packed",
                                select="approx")),
         ("int8", dict(match="int8")),

@@ -38,7 +38,7 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
-from run_trained_cascade import load_digits_images, stratified_split  # noqa: E402
+from run_trained_cascade import load_dataset, stratified_split  # noqa: E402
 
 
 def main() -> None:
@@ -62,10 +62,15 @@ def main() -> None:
     parser.add_argument("--out", default="benchmarks/cascade_serving_r4.jsonl")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
-        "--ckpt", default="benchmarks/trained_{variant}_{res}_s{seed}.npz",
+        "--ckpt", default="benchmarks/trained_{variant}_{res}_{dtag}_s{seed}.npz",
         help="trained-weights cache — reruns skip the ~11 min fine-tune",
     )
     parser.add_argument("--retrain", action="store_true")
+    parser.add_argument(
+        "--dataset", default="digits", choices=["digits", "synthetic"],
+    )
+    parser.add_argument("--classes", type=int, default=128)
+    parser.add_argument("--per-class", type=int, default=60)
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -85,13 +90,15 @@ def main() -> None:
     )
 
     res = args.resolution
-    images, labels = load_digits_images(res)
+    images, labels, dtag = load_dataset(
+        args.dataset, res, args.classes, args.per_class, args.seed
+    )
     num_classes = int(labels.max()) + 1
     tr_idx, va_idx = stratified_split(labels, args.train_frac, args.seed)
     tr_imgs, tr_y = images[tr_idx], labels[tr_idx]
     va_imgs, va_y = images[va_idx], labels[va_idx]
     print(
-        f"digits: train={len(tr_y)} val={len(va_y)} classes={num_classes} "
+        f"{dtag}: train={len(tr_y)} val={len(va_y)} classes={num_classes} "
         f"res={res}", flush=True,
     )
 
@@ -111,7 +118,9 @@ def main() -> None:
         seed=args.seed,
     )
     trainer = MultiExitTrainer(model, variables, cfg)
-    ckpt = args.ckpt.format(variant=args.variant, res=res, seed=args.seed)
+    ckpt = args.ckpt.format(
+        variant=args.variant, res=res, seed=args.seed, dtag=dtag
+    )
     state_tpl = lambda: {  # noqa: E731
         "params": trainer.params,
         "batch_stats": trainer.batch_stats,
@@ -196,7 +205,7 @@ def main() -> None:
     )
     emit({
         "config": "serving_noexit",
-        "dataset": "digits",
+        "dataset": dtag,
         "variant": args.variant,
         "resolution": res,
         "val_acc_final_head": round(float(acc), 4),
@@ -228,7 +237,7 @@ def main() -> None:
         agree = float(np.mean(idx == np.asarray(idx_exact, np.int64)))
         emit({
             "config": "serving_cascade",
-            "dataset": "digits",
+            "dataset": dtag,
             "variant": args.variant,
             "resolution": res,
             "ratio": ratio,

@@ -49,6 +49,34 @@ def load_digits_images(res: int):
     return x, d.target.astype(np.int64)
 
 
+def load_dataset(
+    name: str, res: int, classes: int = 128, per_class: int = 60,
+    seed: int = 0,
+):
+    """(images [-1,1] float32, labels int64, tag) for ``--dataset``:
+
+    - ``digits``: sklearn load_digits (10 classes, 8x8 upscaled) — the
+      only REAL-label offline dataset, kept as the small anchor;
+    - ``synthetic``: the many-class procedural image dataset
+      (data/synthetic_images.py — the Caltech-256 regime of
+      tf_keras/sequential_inference.py:231-269: 100+ classes with
+      intra-class affine/noise variation)."""
+    if name == "digits":
+        x, y = load_digits_images(res)
+        return x, y, "digits"
+    if name == "synthetic":
+        from fast_image_recognition_tpu.data.synthetic_images import (
+            make_synthetic_image_dataset,
+        )
+
+        x, y = make_synthetic_image_dataset(
+            classes, per_class, res, seed=seed
+        )
+        x = x.astype(np.float32) / 255.0 * 2.0 - 1.0
+        return x, y, f"synthetic{classes}"
+    raise ValueError(f"unknown dataset {name!r}")
+
+
 def stratified_split(labels: np.ndarray, train_frac: float, seed: int):
     rng = np.random.default_rng(seed)
     tr, va = [], []
@@ -78,6 +106,11 @@ def main() -> None:
     parser.add_argument("--fused-far", type=float, default=0.01)
     parser.add_argument("--out", default="benchmarks/cascade_trained_r4.jsonl")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--dataset", default="digits", choices=["digits", "synthetic"],
+    )
+    parser.add_argument("--classes", type=int, default=128)
+    parser.add_argument("--per-class", type=int, default=60)
     args = parser.parse_args()
 
     import jax
@@ -100,12 +133,14 @@ def main() -> None:
     )
 
     res = args.resolution
-    images, labels = load_digits_images(res)
+    images, labels, dtag = load_dataset(
+        args.dataset, res, args.classes, args.per_class, args.seed
+    )
     num_classes = int(labels.max()) + 1
     tr_idx, va_idx = stratified_split(labels, args.train_frac, args.seed)
     tr_imgs, tr_y = images[tr_idx], labels[tr_idx]
     va_imgs, va_y = images[va_idx], labels[va_idx]
-    print(f"digits: train={len(tr_y)} val={len(va_y)} classes={num_classes} "
+    print(f"{dtag}: train={len(tr_y)} val={len(va_y)} classes={num_classes} "
           f"res={res}", flush=True)
 
     # ---- 1. two-phase multi-exit fine-tune ------------------------------ #
@@ -194,7 +229,7 @@ def main() -> None:
 
     emit({
         "config": "cascade_trained_noexit",
-        "dataset": "digits",
+        "dataset": dtag,
         "variant": args.variant,
         "resolution": res,
         "val_acc_final_head": round(final_acc, 4),
@@ -216,7 +251,7 @@ def main() -> None:
         recall = macro_recall_percent(pool_y, best.predictions, num_classes)
         emit({
             "config": "cascade_trained_pooled",
-            "dataset": "digits",
+            "dataset": dtag,
             "variant": args.variant,
             "resolution": res,
             "far": far,
@@ -247,7 +282,7 @@ def main() -> None:
     recall = macro_recall_percent(pool_y, preds_f, num_classes)
     emit({
         "config": "cascade_trained_fused",
-        "dataset": "digits",
+        "dataset": dtag,
         "variant": args.variant,
         "resolution": res,
         "far": args.fused_far,

@@ -13,3 +13,7 @@ from fast_image_recognition_tpu.data.synthetic import (  # noqa: F401
     make_gallery_and_probes,
     make_synthetic_gallery,
 )
+from fast_image_recognition_tpu.data.synthetic_images import (  # noqa: F401
+    make_synthetic_image_dataset,
+    split_synthetic_image_dataset,
+)

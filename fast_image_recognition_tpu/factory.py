@@ -113,6 +113,11 @@ def build_matcher(
             m.set_budget(cfg.image_count_to_check)
         return m
     if method == "sw":
+        # BASELINE-ONLY (parity with the reference's off-by-default
+        # NMSLIB small_world_rand, qt_cpp/ann.h:121-157): loses to the
+        # brute-force TPU scan by 20-250x at equal accuracy on every
+        # captured point (benchmarks/ann_crossover_r4.jsonl) — kept as
+        # the N10 parity artifact, never a recommended matcher.
         from fast_image_recognition_tpu.search.small_world import (
             SmallWorldMatcher,
         )

@@ -390,6 +390,187 @@ def _tilemin_packed_kernel(
     out_ref[j % 8, :] = jnp.min(key, axis=0)
 
 
+def _tilemin2_packed_kernel(
+    # inputs
+    q_ref,  # [B, Da] bf16 augmented queries (whole block, VMEM-resident)
+    g_ref,  # [TG, Da] bf16 augmented gallery tile (streamed)
+    # outputs (row j%8 of the revisited 8-row block = this tile's values)
+    out1_ref,  # [8, B] int32 packed min key
+    out2_ref,  # [8, B] int32 packed SECOND-min key
+    *,
+    tile_g: int,
+):
+    """``_tilemin_packed_kernel`` + the tile's second-smallest key.
+
+    The second min is what makes the candidate set CERTIFIABLE: for a
+    tile whose argmin row was rescored exactly, every *unscored* row of
+    that tile has PCA-space distance >= m2, and orthogonal projection
+    only shrinks distances, so m2 lower-bounds the true full-D distance
+    of everything the rescore did not look at (see
+    ``topk_candidates_l2_packed_cert``). Keys are unique per tile (the
+    low bits carry the row iota), so one eq+select+min extracts m2
+    exactly — the only epilogue cost over the single-reduce kernel."""
+    j = pl.program_id(0)
+    cross = jax.lax.dot_general(
+        g_ref[:],
+        q_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TG, B] = full squared L2 (augmented columns)
+    bits = jax.lax.bitcast_convert_type(cross, jnp.int32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, bits.shape, 0)
+    key = (bits & ~(tile_g - 1)) | rows
+    m1 = jnp.min(key, axis=0)
+    out1_ref[j % 8, :] = m1
+    key2 = jnp.where(key == m1[None, :], _INT_BIG, key)
+    out2_ref[j % 8, :] = jnp.min(key2, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("d", "tile_g", "interpret"))
+def _tilemin2_packed_block(
+    queries_aug: jax.Array,  # [Bp, Da] bf16
+    gallery_aug: jax.Array,  # [Np, Da] bf16
+    d: int,
+    tile_g: int,
+    interpret: bool,
+):
+    bp, da = queries_aug.shape
+    np_, _ = gallery_aug.shape
+    n_tiles = np_ // tile_g
+    n_rows = _round_up(n_tiles, 8)
+    out1, out2 = pl.pallas_call(
+        functools.partial(_tilemin2_packed_kernel, tile_g=tile_g),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((bp, da), lambda j: (0, 0)),
+            pl.BlockSpec((tile_g, da), lambda j: (j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, bp), lambda j: (j // 8, 0)),
+            pl.BlockSpec((8, bp), lambda j: (j // 8, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows, bp), jnp.int32),
+            jax.ShapeDtypeStruct((n_rows, bp), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * np_ * da,
+            bytes_accessed=int(np_ * da * 2),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries_aug, gallery_aug)
+    return out1[:n_tiles], out2[:n_tiles]
+
+
+def _augment_queries(queries: jax.Array, d: int, da: int) -> jax.Array:
+    """Query-side ``[-2q, 1, 1, |q|^2_hi, |q|^2_lo]`` layout matching
+    ``pack_gallery_aug`` (shared by the packed scans)."""
+    b, dq = queries.shape
+    assert dq == d and d + 4 <= da, (dq, d, da)
+    qf = jnp.asarray(queries, jnp.float32)
+    qsq = jnp.einsum("bd,bd->b", qf, qf, preferred_element_type=jnp.float32)
+    qhi = qsq.astype(jnp.bfloat16)
+    qlo = (qsq - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    qa = jnp.zeros((b, da), jnp.bfloat16)
+    qa = qa.at[:, :d].set((-2.0 * qf).astype(jnp.bfloat16))
+    qa = qa.at[:, d].set(jnp.bfloat16(1))
+    qa = qa.at[:, d + 1].set(jnp.bfloat16(1))
+    qa = qa.at[:, d + 2].set(qhi)
+    qa = qa.at[:, d + 3].set(qlo)
+    return qa
+
+
+def tile_min2_l2_packed(
+    queries: jax.Array,  # [B, D] fp32/bf16 (raw, NOT augmented)
+    gallery_aug: jax.Array,  # pack_gallery_aug(...) output
+    d: int,
+    *,
+    tile_g: int = 1024,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """``tile_min_l2_packed`` + per-tile second-min distance:
+    (d1 [B, n_tiles] RAW squared L2, index [B, n_tiles], d2 [B, n_tiles]
+    raw squared L2). Distances are NOT divided by ``d`` (certificate
+    callers compare them against raw rescored squared distances) and are
+    quantized toward zero by ~2^-13 relative (conservative for a lower
+    bound)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b = queries.shape[0]
+    da = gallery_aug.shape[1]
+    qa = _augment_queries(queries, d, da)
+    bp = _round_up(max(b, 128), 128)
+    if bp != b:
+        qa = jnp.pad(qa, ((0, bp - b), (0, 0)))
+    o1, o2 = [], []
+    for s in range(0, bp, MAX_QUERY_BLOCK):
+        k1, k2 = _tilemin2_packed_block(
+            qa[s : s + MAX_QUERY_BLOCK], gallery_aug, d, tile_g, interpret
+        )
+        o1.append(k1.T)
+        o2.append(k2.T)
+    k1 = jnp.concatenate(o1, axis=0)[:b] if len(o1) > 1 else o1[0][:b]
+    k2 = jnp.concatenate(o2, axis=0)[:b] if len(o2) > 1 else o2[0][:b]
+    idx_in_tile = k1 & (tile_g - 1)
+    n_tiles = k1.shape[1]
+    out_i = jnp.arange(n_tiles, dtype=jnp.int32)[None, :] * tile_g + idx_in_tile
+    d1 = jnp.maximum(
+        jax.lax.bitcast_convert_type(k1 & ~(tile_g - 1), jnp.float32), 0.0
+    )
+    # a single-valid-row tile's m2 is the _INT_BIG sentinel -> huge float
+    d2 = jnp.maximum(
+        jax.lax.bitcast_convert_type(k2 & ~(tile_g - 1), jnp.float32), 0.0
+    )
+    return d1, out_i, d2
+
+
+def topk_candidates_l2_packed_cert(
+    queries: jax.Array,
+    gallery_aug: jax.Array,  # pack_gallery_aug(...) output
+    d: int,
+    r: int,
+    *,
+    tile_g: int = 1024,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Certified candidate generation: (cand [B, R], bound [B]).
+
+    ``bound`` is a LOWER bound (up to bf16 operand rounding + the 2^-13
+    key quantization, both of which the caller's slack must cover) on the
+    true full-D squared L2 distance of every gallery row the candidate
+    set does NOT contain:
+
+    - rows in UNSELECTED tiles: their tile's PCA min >= the (R+1)-th
+      smallest tile min (exact top-k selection), and projection onto the
+      PCA subspace only shrinks distances, so d_full >= d_pca >= that;
+    - unscored rows in SELECTED tiles (the within-tile miss class the
+      plain candidate set cannot see): everything but the argmin has
+      d_pca >= the tile's second-min m2.
+
+    If the exact rescored best distance d1 satisfies d1 < bound - slack,
+    the 1-NN answer is PROVABLY exact; otherwise the caller escalates
+    (serving.RecognitionService runs the full-D scan on such batches).
+    Exact tile selection only — approx_min_k voids the unselected-tile
+    half of the bound."""
+    d1t, it, d2t = tile_min2_l2_packed(
+        queries, gallery_aug, d, tile_g=tile_g, interpret=interpret
+    )
+    n_tiles = d1t.shape[1]
+    r = min(r, n_tiles)
+    k = min(r + 1, n_tiles)
+    neg, tile_sel = jax.lax.top_k(-d1t, k)
+    cand = jnp.take_along_axis(it, tile_sel[:, :r], axis=1)
+    if k > r:
+        unsel = -neg[:, -1]  # (r+1)-th smallest tile min
+    else:  # every tile selected: no unselected class
+        unsel = jnp.full((d1t.shape[0],), BIG_DIST, jnp.float32)
+    sel_m2 = jnp.min(
+        jnp.take_along_axis(d2t, tile_sel[:, :r], axis=1), axis=1
+    )
+    return cand, jnp.minimum(unsel, sel_m2)
+
+
 def pack_gallery_aug(
     gallery: jax.Array,
     n_valid: Optional[int] = None,
@@ -467,19 +648,9 @@ def tile_min_l2_packed(
     (tile SELECTION fidelity; candidates get rescored exactly anyway)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    b, dq = queries.shape
+    b = queries.shape[0]
     da = gallery_aug.shape[1]
-    assert dq == d and d + 4 <= da, (dq, d, da)
-    qf = jnp.asarray(queries, jnp.float32)
-    qsq = jnp.einsum("bd,bd->b", qf, qf, preferred_element_type=jnp.float32)
-    qhi = qsq.astype(jnp.bfloat16)
-    qlo = (qsq - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
-    qa = jnp.zeros((b, da), jnp.bfloat16)
-    qa = qa.at[:, :d].set((-2.0 * qf).astype(jnp.bfloat16))
-    qa = qa.at[:, d].set(jnp.bfloat16(1))
-    qa = qa.at[:, d + 1].set(jnp.bfloat16(1))
-    qa = qa.at[:, d + 2].set(qhi)
-    qa = qa.at[:, d + 3].set(qlo)
+    qa = _augment_queries(queries, d, da)
     bp = _round_up(max(b, 128), 128)
     if bp != b:
         qa = jnp.pad(qa, ((0, bp - b), (0, 0)))

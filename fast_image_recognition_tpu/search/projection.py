@@ -122,8 +122,14 @@ class _FlatForest:
     variance scan and draw the split dim from a one-pass global
     high-variance pool (the deep levels are where a full per-node
     variance pass used to cost whole-dataset sweeps per level).
-    Degenerate splits (duplicate-heavy columns) fall back to the median
-    of the node's own rows."""
+    Degenerate splits (duplicate-heavy columns) fall back to a count-
+    median split of the node's own rows, which always produces two
+    non-empty halves for nodes of >= 2 rows — so leaf sizes stay capped
+    at ``leaf_size`` and the bail-to-leaf branch is a pure safety net.
+    Worst case (noted per ADVICE r4): if that net ever fired,
+    ``leaf_ids`` pads every leaf to the GLOBAL max leaf length, so one
+    oversized leaf would tax every batched leaf gather; the count-median
+    recursion is what prevents that state from being reachable."""
 
     def __init__(
         self,

@@ -70,6 +70,7 @@ class RecognitionService:
         pca_scan: str = "f32",
         sharded_scan: str = "exact",  # 'exact' | 'packed' (match='sharded')
         select: str = "exact",
+        escalate: Optional[float] = 0.05,
         n_valid: Optional[int] = None,
         pca_sample: int = 8192,
         folded: bool = True,
@@ -140,6 +141,21 @@ class RecognitionService:
             self.n_valid = int(n_valid if n_valid is not None else g.shape[0])
             self.gallery = pad_gallery(jnp.asarray(g, jnp.bfloat16))
         self.labels = None if labels is None else np.asarray(labels)
+
+        # adaptive escalation (pca/packed/exact-select only): the packed
+        # scan's second-min certificate proves per-probe whether the
+        # rescored answer is the exact 1-NN; uncertified batches escalate
+        # to the full-D scan inside the same jitted program (lax.cond),
+        # so clean workloads pay only the certificate epilogue while
+        # near-ambiguous workloads (noise-sweep >= 1.5x) stay EXACT.
+        self.escalate = (
+            float(escalate)
+            if escalate is not None
+            and match == "pca"
+            and pca_scan == "packed"
+            and select == "exact"
+            else None
+        )
 
         if match == "pca":
             from fast_image_recognition_tpu.ops.pca import fit_pca
@@ -229,6 +245,7 @@ class RecognitionService:
 
     def _match_emb(self, emb, *margs):
         """[B, D] fp32 normalized embeddings -> [B] gallery row ids."""
+        import jax
         import jax.numpy as jnp
 
         from fast_image_recognition_tpu.ops.distance_kernel import (
@@ -272,16 +289,26 @@ class RecognitionService:
             )
             return idx[:, 0]
         qp = (emb - self._mu) @ self._w
+        bound = None
         if self.pca_scan == "packed":
-            from fast_image_recognition_tpu.ops.distance_kernel import (
-                topk_candidates_l2_packed,
-            )
-
             gal_aug, gallery = margs
-            cand = topk_candidates_l2_packed(
-                qp, gal_aug, self.pca_dim, self.rescore,
-                select=self.select,
-            )
+            if self.escalate is not None:
+                from fast_image_recognition_tpu.ops.distance_kernel import (
+                    topk_candidates_l2_packed_cert,
+                )
+
+                cand, bound = topk_candidates_l2_packed_cert(
+                    qp, gal_aug, self.pca_dim, self.rescore
+                )
+            else:
+                from fast_image_recognition_tpu.ops.distance_kernel import (
+                    topk_candidates_l2_packed,
+                )
+
+                cand = topk_candidates_l2_packed(
+                    qp, gal_aug, self.pca_dim, self.rescore,
+                    select=self.select,
+                )
         elif self.pca_scan == "int8":
             from fast_image_recognition_tpu.ops.distance_kernel import (
                 topk_candidates_l2_quant,
@@ -309,7 +336,32 @@ class RecognitionService:
         )
         d = rsq - 2.0 * cross  # + |q|^2, constant per row
         best = jnp.argmin(d, axis=1)
-        return jnp.take_along_axis(cand, best[:, None], 1)[:, 0]
+        idx_fast = jnp.take_along_axis(cand, best[:, None], 1)[:, 0]
+        if bound is None:
+            return idx_fast
+        # escalation certificate: d1 (TRUE squared L2 of the rescored
+        # best) must clear the candidate set's lower bound on everything
+        # unscored, with slack covering bf16 operand rounding on both
+        # sides and the packed key's 2^-13 quantization. Uncertified
+        # probes take the exact full-D scan — one lax.cond, so certified
+        # batches never pay for it.
+        from fast_image_recognition_tpu.ops.distance_kernel import topk_l2
+
+        qsq = jnp.einsum(
+            "bd,bd->b", emb, emb, preferred_element_type=jnp.float32
+        )
+        d1 = jnp.take_along_axis(d, best[:, None], 1)[:, 0] + qsq
+        slack = self.escalate
+        esc = d1 + slack * qsq > (1.0 - slack) * bound
+        n_valid = self.n_valid
+
+        def _escalated(_):
+            _, ei = topk_l2(emb, gallery, k=1, n_valid=n_valid)
+            return jnp.where(esc, ei[:, 0], idx_fast)
+
+        return jax.lax.cond(
+            jnp.any(esc), _escalated, lambda _: idx_fast, None
+        )
 
     def _extract_and_match(self, sparams, images, *margs):
         import jax.numpy as jnp
@@ -688,6 +740,12 @@ class CascadeRecognitionService:
             "brd,brd->br", rows, rows, preferred_element_type=jnp.float32
         )
         d = jnp.maximum(1.0 + rsq - 2.0 * cross, 0.0)
+        # pad_gallery pads to a 1024-row multiple but small galleries
+        # shrink _tile_g below that, creating whole all-padding tiles;
+        # when rescore >= #valid tiles those tiles' argmins (rows of
+        # zeros, d = 1.0 exactly) enter the candidate set and can beat
+        # every real row. Mask them out (n_valid is static).
+        d = jnp.where(cand < self.n_valid, d, jnp.inf)
         if d.shape[1] < 2:
             # degenerate single-candidate set: no runner-up information,
             # so the ratio rule must never fire (d2 = d1 => ratio 1)

@@ -103,6 +103,40 @@ def test_planted_readout_fires_level0(setup):
         svc._fused_fns = {}
 
 
+def test_pad_tiles_never_win_rescore():
+    """Regression (ADVICE r4): galleries small enough to shrink _tile_g
+    below the 1024-row pad granularity create whole all-padding tiles;
+    with rescore >= #valid tiles those tiles' argmins (zero rows, exact
+    d = 1.0) entered the rescore and beat every real row whenever the
+    true NN distance exceeded 1.0 (typical for an unplanted gallery:
+    d = 2 - 2cos ~ 2). Pad candidates must be masked to +inf."""
+    rng = np.random.default_rng(3)
+    images = (rng.random((BATCH, RES, RES, 3)) * 255).astype(np.float32)
+    n = 300  # pads to 1024; _tile_g shrinks to 128 => 5 all-pad tiles
+    gal = rng.normal(size=(n, 1280)).astype(np.float32)
+    gal /= np.linalg.norm(gal, axis=1, keepdims=True)
+    labels = np.arange(n, dtype=np.int32) % 37
+    svc = build_cascade_service(
+        "b0", gal, labels, resolution=RES, pca_dim=32, rescore=16,
+        pca_sample=256, calib_total=64, calib_batch=32, d2_rule="class",
+    )
+    assert svc._tile_g < 1024  # the shrink actually happened
+    idx, lab, stats = svc.identify(images)
+    assert np.all(idx < n), f"pad row leaked into top-1: {idx}"
+    assert np.all(np.asarray(lab) == labels[np.asarray(idx)])
+    # random weights: fail closed, everyone reaches the final level
+    assert stats["break_counts"][-1] == pytest.approx(1.0)
+    # the bug's signature: every real row has d ~ 2 - 2cos ~ 2 here, so
+    # unmasked pad rows (exact d = 1.0) would win EVERY probe -> the
+    # idx < n assertion above is the discriminating check; additionally
+    # the chosen rows must be real rows with plausible distances
+    exact = build_service("b0", gal, resolution=RES, match="exact")
+    emb = np.asarray(exact.embed(images), np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    d_chosen = ((emb - gal[np.asarray(idx)]) ** 2).sum(-1)
+    assert np.all(np.isfinite(d_chosen)) and np.all(d_chosen > 1.0)
+
+
 def test_calibrate_sizes_capacities(setup):
     svc, images, *_ = setup
     fracs = svc.calibrate(images, slack=1.2)

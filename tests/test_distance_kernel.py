@@ -198,6 +198,43 @@ def test_tile_min_packed_parity(sets):
     assert all(nn[b] in cand[b] for b in range(q.shape[0]))
 
 
+def test_tile_min2_packed_second_min_and_cert(sets):
+    """tile_min2 emits each tile's min AND second-min; the certificate
+    bound must lower-bound the true raw squared distance of every row the
+    candidate set does not contain (the escalation soundness contract)."""
+    from fast_image_recognition_tpu.ops.distance_kernel import (
+        pack_gallery_aug,
+        tile_min2_l2_packed,
+        topk_candidates_l2_packed_cert,
+    )
+
+    q, g = sets
+    tile = 64
+    n, dim = g.shape
+    gaug = pack_gallery_aug(jnp.asarray(g), n, tile_g=tile)
+    d1, i, d2 = tile_min2_l2_packed(q, gaug, dim, tile_g=tile)
+    d1, i, d2 = np.asarray(d1), np.asarray(i), np.asarray(d2)
+    dense = oracle_pairwise(q, g) * dim  # raw squared (oracle is /dim)
+    n_tiles = -(-n // tile)
+    for b in range(q.shape[0]):
+        for t in range(n_tiles):
+            blk = np.sort(dense[b, t * tile : min((t + 1) * tile, n)])
+            assert d2[b, t] >= d1[b, t]
+            # both values track the tile's two smallest up to bf16 +
+            # key-quantization slack (argmin flips swap near-ties only)
+            np.testing.assert_allclose(d1[b, t], blk[0], rtol=3e-2, atol=1e-4)
+            np.testing.assert_allclose(d2[b, t], blk[1], rtol=3e-2, atol=1e-4)
+    r = 3
+    cand, bound = topk_candidates_l2_packed_cert(q, gaug, dim, r, tile_g=tile)
+    cand, bound = np.asarray(cand), np.asarray(bound)
+    for b in range(q.shape[0]):
+        unscored = np.setdiff1d(np.arange(n), cand[b])
+        true_min_unscored = dense[b, unscored].min()
+        # soundness: bound never exceeds the true unscored min by more
+        # than the numeric slack the caller's escalate margin covers
+        assert bound[b] <= true_min_unscored * 1.03 + 1e-4
+
+
 def test_tile_min_packed_ragged_n():
     """Pad rows past n_valid carry a huge key and never win a tile min."""
     from fast_image_recognition_tpu.ops.distance_kernel import (

@@ -109,6 +109,36 @@ def test_pca_approx_select_finds_planted_rows(setup):
     np.testing.assert_array_equal(idx, true_idx)
 
 
+def test_escalation_exact_on_pca_hostile_gallery(setup):
+    """A pca_dim=2 packed scan over an unplanted random gallery misses
+    the true 1-NN almost surely; the second-min certificate must detect
+    every such probe and escalate to the exact full-D scan, making the
+    default packed path EXACT regardless of workload (VERDICT r4 #6)."""
+    service, images, gal, true_idx, labels = setup
+    rng = np.random.default_rng(11)
+    hostile = rng.normal(size=gal.shape).astype(np.float32)
+    hostile /= np.linalg.norm(hostile, axis=1, keepdims=True)
+    esc = build_service(
+        "b0", hostile, resolution=32, match="pca", pca_dim=2, rescore=2,
+        pca_sample=256, pca_scan="packed",
+    )
+    esc.sparams = service.sparams
+    assert esc.escalate is not None  # packed+exact-select default ON
+    exact = build_service("b0", hostile, resolution=32, match="exact")
+    exact.sparams = service.sparams
+    idx_esc, _ = esc.identify(images)
+    idx_exact, _ = exact.identify(images)
+    np.testing.assert_array_equal(idx_esc, idx_exact)
+    # teeth: the UNescalated pca_dim=2 path really does miss here
+    off = build_service(
+        "b0", hostile, resolution=32, match="pca", pca_dim=2, rescore=2,
+        pca_sample=256, pca_scan="packed", escalate=None,
+    )
+    off.sparams = service.sparams
+    idx_off, _ = off.identify(images)
+    assert (idx_off != idx_exact).any()
+
+
 def test_sharded_match_agrees_with_exact(setup):
     """match='sharded' (8-way gallery shards + ICI top-k merge) returns
     the same rows as the single-device exact path."""
