@@ -210,10 +210,55 @@ def _exact_fp32_nn(queries, gal, n_valid: int):
     return np.concatenate(out)
 
 
+def _find_ckpt(args, res: int):
+    """Resolve --ckpt: a path, 'none', or 'auto' (newest trained checkpoint
+    for this variant/resolution under benchmarks/)."""
+    import glob
+    import os
+
+    if args.ckpt == "none":
+        return None
+    if args.ckpt != "auto":
+        return args.ckpt
+    pat = f"benchmarks/trained_{args.variant}_{res}_synthetic*.npz"
+    hits = sorted(glob.glob(pat), key=os.path.getmtime)
+    return hits[-1] if hits else None
+
+
+def _load_trained(model, variables, ckpt: str):
+    """Restore a MultiExitTrainer checkpoint (params/batch_stats/heads)
+    into backbone variables (heads are classifier-side, not needed for
+    the embedding serving surface)."""
+    from fast_image_recognition_tpu.utils.checkpoint import load_variables
+
+    state = load_variables(ckpt)
+    return {"params": state["params"], "batch_stats": state["batch_stats"]}
+
+
+def _synthetic_probe_images(batch: int, res: int, seed: int, per_class=1):
+    """uint8 probe batch rendered ON DEVICE from ``batch``/per_class UNSEEN
+    texture classes (class seed disjoint from the training driver's seed 0)
+    — recognition semantics: the gallery enrolls identities the extractor
+    was not trained on (the reference trains on one dataset and serves
+    LFW/CASIA galleries, qt_cpp/db.h:4-11)."""
+    from fast_image_recognition_tpu.data.synthetic_device import (
+        device_dataset,
+    )
+
+    classes = -(-batch // per_class)
+    imgs, _ = device_dataset(
+        classes, per_class, res, seed=seed, class_seed=seed, chunk=256
+    )
+    return imgs[:batch]
+
+
 def bench_e2e(args) -> None:
     """Config 2: the RecognitionService product surface — folded extract +
     fused 1-NN match (PCA candidates + full-D rescore, or exact) in one
-    jitted program per batch."""
+    jitted program per batch. With a trained checkpoint present
+    (cli/train_serving_backbone.py), probes are device-rendered images of
+    UNSEEN synthetic classes and ``--extract auto`` also runs the
+    early-exit cascade against the plain path on the same workload."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -226,26 +271,56 @@ def bench_e2e(args) -> None:
     info = backbone_info(args.variant)
     res = args.resolution or int(info["resolution"])
     model, variables = create_backbone(args.variant, 0, resolution=res)
+    ckpt = _find_ckpt(args, res)
+    trained = ckpt is not None
+    if trained:
+        variables = _load_trained(model, variables, ckpt)
     serve, sparams = make_serving_fn(
         model, variables, info, resolution=res, folded=True
     )
     rng = np.random.default_rng(0)
-    # serving-realistic uint8 input: 4x less HBM read in the (preprocess-
-    # folded) stem than an fp32 image batch, identical math (exact cast)
-    images = jnp.asarray(
-        rng.integers(0, 255, (args.batch, res, res, 3), dtype=np.int64)
-        .astype(np.uint8)
-    )
+    if trained:
+        # unseen-class device-rendered probes (zero host image traffic)
+        images = _synthetic_probe_images(args.batch, res, seed=1000 + args.batch)
+    else:
+        # serving-realistic uint8 input: 4x less HBM read in the
+        # (preprocess-folded) stem than an fp32 image batch, identical math
+        images = jnp.asarray(
+            rng.integers(0, 255, (args.batch, res, res, 3), dtype=np.int64)
+            .astype(np.uint8)
+        )
 
     emb_fn = jax.jit(lambda v, im: serve(v, im)["embedding"])
     emb0 = _normalize(np.asarray(emb_fn(sparams, images), np.float32))
     gallery, true_idx = _planted_gallery_device(args.gallery, emb0)
     n = args.gallery
 
-    if args.extract == "cascade":
+    extract = args.extract
+    if extract == "auto":
+        extract = "both" if trained else "exact"
+    if extract in ("cascade", "both"):
+        plain_ips = None
+        if extract == "both":
+            plain_ips = _bench_e2e_plain(
+                args, model, variables, info, serve, sparams, gallery,
+                images, emb0, true_idx, res, n
+            )
         _bench_e2e_cascade(args, model, variables, info, gallery, images,
-                           emb0, true_idx, res, n)
+                           emb0, true_idx, res, n, ckpt=ckpt,
+                           plain_ips=plain_ips)
         return
+    _bench_e2e_plain(args, model, variables, info, serve, sparams, gallery,
+                     images, emb0, true_idx, res, n)
+
+
+def _bench_e2e_plain(
+    args, model, variables, info, serve, sparams, gallery, images, emb0,
+    true_idx, res: int, n: int,
+) -> float:
+    import numpy as np
+
+    from fast_image_recognition_tpu.serving import RecognitionService
+    from fast_image_recognition_tpu.utils.flops import fn_flops
 
     service = RecognitionService(
         model, variables, info, gallery,
@@ -287,35 +362,48 @@ def bench_e2e(args) -> None:
         error_pct=error_pct,
         agreement_pct=agreement_pct,
     )
+    return ips
 
 
 def _bench_e2e_cascade(
     args, model, variables, info, gallery, images, emb0, true_idx,
-    res: int, n: int,
+    res: int, n: int, ckpt=None, plain_ips=None,
 ) -> None:
     """--extract cascade: the early-exit serving path
     (serving.CascadeRecognitionService) on the same planted workload as
     the exact e2e — ratio-rule exits on readout-predicted embeddings, one
     dispatch per batch. Audited exactly like the exact path: error vs the
-    planted truth, agreement vs the fp32 exact scan of the FULL path."""
+    planted truth, agreement vs the fp32 exact scan of the FULL path.
+    With a trained checkpoint, readouts fit and capacities calibrate on
+    device-rendered images of held-out classes (disjoint from both the
+    training classes and the probe classes)."""
     import numpy as np
 
     from fast_image_recognition_tpu.serving import CascadeRecognitionService
 
     taps = args.exit_taps.split(",") if args.exit_taps else None
+    if ckpt is not None:
+        # readout-fit pool: unseen classes, disjoint from probe classes
+        calib_fit = _synthetic_probe_images(
+            min(2048, 2 * args.batch), res, seed=5000, per_class=2
+        )
+        calib_images = _synthetic_probe_images(
+            args.batch, res, seed=7000 + args.batch
+        )
+    else:
+        rng = np.random.default_rng(1)
+        calib_fit = None
+        calib_images = rng.integers(
+            0, 255, images.shape, dtype=np.int64
+        ).astype(np.uint8)
     svc = CascadeRecognitionService(
         model, variables, info, gallery,
-        n_valid=n, resolution=res, taps=taps,
+        n_valid=n, resolution=res, taps=taps, grid=args.grid,
         pca_dim=args.pca_dim, rescore=args.rescore,
-        ratio=args.cascade_ratio,
+        ratio=args.cascade_ratio, calib_images=calib_fit,
     )
-    # calibrate on a HELD-OUT draw (ADVICE r4): fitting capacities to the
-    # measured batch guarantees forced_fraction ~ 0 by construction; a
-    # second image draw from the same distribution is the honest pool
-    rng = np.random.default_rng(1)
-    calib_images = rng.integers(
-        0, 255, images.shape, dtype=np.int64
-    ).astype(np.uint8)
+    # calibrate capacities on a HELD-OUT draw (ADVICE r4): fitting them to
+    # the measured batch guarantees forced_fraction ~ 0 by construction
     fracs = svc.calibrate(calib_images, slack=args.slack)
     caps = svc.capacities_for(args.batch)
 
@@ -332,6 +420,11 @@ def _bench_e2e_cascade(
     idx_fast = packed[:b].astype(np.int64)
     exit_level = packed[b : 2 * b]
     idx_exact = _exact_fp32_nn(emb0, gallery, n)
+    extra = {}
+    if plain_ips:
+        extra["speedup_vs_plain"] = round(ips / plain_ips, 3)
+    if ckpt:
+        extra["ckpt"] = ckpt.rsplit("/", 1)[-1]
     _emit(
         f"images/sec/chip end-to-end ({args.variant} cascade-extract "
         f"taps={'/'.join(svc.taps)} ratio={svc.ratio} + 1-NN "
@@ -348,6 +441,7 @@ def _bench_e2e_cascade(
         survivor_fractions=[round(f, 4) for f in fracs],
         capacities=list(caps),
         forced_fraction=round(float(packed[2 * b]) / b, 4),
+        **extra,
     )
 
 
@@ -374,14 +468,22 @@ def bench_noise_sweep(args) -> None:
     info = backbone_info(args.variant)
     res = args.resolution or int(info["resolution"])
     model, variables = create_backbone(args.variant, 0, resolution=res)
+    ckpt = _find_ckpt(args, res)
+    if ckpt is not None:
+        variables = _load_trained(model, variables, ckpt)
     serve, sparams = make_serving_fn(
         model, variables, info, resolution=res, folded=True
     )
     rng = np.random.default_rng(0)
-    images = jnp.asarray(
-        rng.integers(0, 255, (args.batch, res, res, 3), dtype=np.int64)
-        .astype(np.uint8)
-    )
+    if ckpt is not None:
+        images = _synthetic_probe_images(
+            args.batch, res, seed=1000 + args.batch
+        )
+    else:
+        images = jnp.asarray(
+            rng.integers(0, 255, (args.batch, res, res, 3), dtype=np.int64)
+            .astype(np.uint8)
+        )
     emb_fn = jax.jit(lambda v, im: serve(v, im)["embedding"])
     emb0 = _normalize(np.asarray(emb_fn(sparams, images), np.float32))
     n = args.gallery
@@ -751,10 +853,24 @@ def main() -> None:
         "int8 quantized scan + exact rescore",
     )
     parser.add_argument(
-        "--extract", default="exact", choices=["exact", "cascade"],
-        help="e2e extract path: the full folded forward, or the early-exit "
-        "serving cascade (readout-predicted embeddings + d1/d2 ratio-rule "
-        "exits, serving.CascadeRecognitionService)",
+        "--extract", default="auto",
+        choices=["auto", "exact", "cascade", "both"],
+        help="e2e extract path: the full folded forward ('exact'), the "
+        "early-exit serving cascade (readout-predicted embeddings + d1/d2 "
+        "ratio-rule exits, serving.CascadeRecognitionService), 'both' "
+        "(plain line then cascade line, same gallery/workload), or 'auto' "
+        "(= both when a trained checkpoint exists, else exact)",
+    )
+    parser.add_argument(
+        "--ckpt", default="auto",
+        help="trained backbone checkpoint for the e2e config: a path, "
+        "'none' (random weights + noise probes, the pre-r5 workload), or "
+        "'auto' (newest benchmarks/trained_<variant>_<res>_synthetic*.npz; "
+        "probes become device-rendered unseen-class images)",
+    )
+    parser.add_argument(
+        "--grid", type=int, default=2,
+        help="--extract cascade: readout grid-pool size (g*g*C tap feats)",
     )
     parser.add_argument(
         "--cascade-ratio", type=float, default=0.7,

@@ -90,13 +90,30 @@ class MultiExitTrainer:
         variables,
         config: TrainConfig,
         checkpoint_path: Optional[str] = None,
+        preprocess=None,
     ):
         self.model = model
         self.config = config
+        # optional on-device input map (e.g. uint8 -> (x-MEAN)/STD for a
+        # fold-consistent serving contract); applied to every batch the
+        # trainer sees. Device-resident datasets (jax uint8 arrays) are
+        # batched by device gather — nothing crosses the host link.
+        self.preprocess = preprocess
+        self._prep_jit = jax.jit(self._prep_traced)
+        self._gather_jit = jax.jit(
+            lambda data, idx: self._prep_traced(jnp.take(data, idx, axis=0))
+        )
         # copy: the jitted step donates its state buffers, which would
-        # invalidate the caller's original variables on the first step
-        self.params = jax.tree.map(jnp.array, variables["params"])
-        self.batch_stats = jax.tree.map(jnp.array, variables["batch_stats"])
+        # invalidate the caller's original variables on the first step.
+        # ONE jitted copy of the whole tree — per-leaf jnp.array calls
+        # compile ~one tiny program per leaf (~0.4 s each over the
+        # tunneled device's compile service: minutes for a backbone)
+        copy_tree = jax.jit(lambda t: jax.tree.map(jnp.asarray, t))
+        copied = copy_tree(
+            {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+        )
+        self.params = copied["params"]
+        self.batch_stats = copied["batch_stats"]
         self.heads = init_heads(
             model,
             variables,
@@ -107,6 +124,17 @@ class MultiExitTrainer:
         )
         self.ckpt = BestCheckpoint(checkpoint_path) if checkpoint_path else None
         self._step_fns: Dict[Tuple[bool, float], Any] = {}
+
+    def _prep_traced(self, images):
+        x = jnp.asarray(images).astype(jnp.float32)
+        return self.preprocess(x) if self.preprocess is not None else x
+
+    def _batch(self, images, idx):
+        """One training batch: device gather for device-resident data,
+        host slice + upload otherwise — preprocessed either way."""
+        if isinstance(images, jax.Array):
+            return self._gather_jit(images, jnp.asarray(idx, jnp.int32))
+        return self._prep_jit(jnp.asarray(images[idx]))
 
     # -- loss ---------------------------------------------------------------
     def _loss(self, params, heads, batch_stats, images, labels, cls_w, rngs):
@@ -142,7 +170,9 @@ class MultiExitTrainer:
                 {"train": optax.adam(lr), "freeze": optax.set_to_zero()},
                 ("freeze", ["train"] * len(self.heads)),
             )
-        opt_state = tx.init((self.params, self.heads))
+        # jitted init: one compile instead of one tiny zeros_like program
+        # per optimizer-state leaf
+        opt_state = jax.jit(tx.init)((self.params, self.heads))
 
         def step(params, heads, batch_stats, opt_state, images, labels, cls_w, key):
             rngs = {
@@ -166,45 +196,58 @@ class MultiExitTrainer:
         scale. One mutable pass gives ``new = m*old + (1-m)*batch``; solve
         for ``batch`` and assign it."""
         m = 0.99
-        mutated = self.model.apply(
-            {"params": self.params, "batch_stats": self.batch_stats},
-            jnp.asarray(images, jnp.float32),
-            train=True,
-            rngs={
-                "stochastic_depth": jax.random.PRNGKey(0),
-                "dropout": jax.random.PRNGKey(1),
-            },
-            mutable=["batch_stats"],
-        )[1]["batch_stats"]
-        self.batch_stats = jax.tree.map(
-            lambda new, old: (new - m * old) / (1.0 - m),
-            mutated,
-            self.batch_stats,
-        )
+
+        @jax.jit
+        def _calib(params, batch_stats, x):
+            mutated = self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                self._prep_traced(x),
+                train=True,
+                rngs={
+                    "stochastic_depth": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1),
+                },
+                mutable=["batch_stats"],
+            )[1]["batch_stats"]
+            return jax.tree.map(
+                lambda new, old: (new - m * old) / (1.0 - m),
+                mutated,
+                batch_stats,
+            )
+
+        self.batch_stats = _calib(self.params, self.batch_stats, images)
 
     # -- evaluation ---------------------------------------------------------
-    def evaluate(self, images: np.ndarray, labels: np.ndarray) -> float:
-        """Final-head accuracy."""
+    def evaluate(self, images, labels: np.ndarray) -> float:
+        """Final-head accuracy (one jitted dispatch per batch — the
+        un-jitted apply would cross the device link per op)."""
+        if not hasattr(self, "_eval_fn"):
+
+            def _pred(params, batch_stats, w, b, x):
+                out = self.model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    self._prep_traced(x),
+                    train=False,
+                )
+                return jnp.argmax(out["embedding"] @ w + b, 1)
+
+            self._eval_fn = jax.jit(_pred)
         correct = 0
         bs = self.config.batch_size
+        h = self.heads[-1]
         for s in range(0, len(images), bs):
-            out = self.model.apply(
-                {"params": self.params, "batch_stats": self.batch_stats},
-                jnp.asarray(images[s : s + bs], jnp.float32),
-                train=False,
+            pred = self._eval_fn(
+                self.params, self.batch_stats, h["w"], h["b"],
+                images[s : s + bs],
             )
-            h = self.heads[-1]
-            logits = out["embedding"] @ h["w"] + h["b"]
-            correct += int(
-                (np.asarray(jnp.argmax(logits, 1)) == labels[s : s + bs]).sum()
-            )
+            correct += int((np.asarray(pred) == labels[s : s + bs]).sum())
         return correct / len(images)
 
     def head_logits(self, images: np.ndarray) -> List[np.ndarray]:
         """Per-exit logits for BranchyNet-style evaluation."""
         out = self.model.apply(
             {"params": self.params, "batch_stats": self.batch_stats},
-            jnp.asarray(images, jnp.float32),
+            self._prep_jit(images),
             train=False,
             taps=self.config.taps,
         )
@@ -255,7 +298,7 @@ class MultiExitTrainer:
                         self.heads,
                         self.batch_stats,
                         opt_state,
-                        jnp.asarray(train_images[idx], jnp.float32),
+                        self._batch(train_images, idx),
                         jnp.asarray(train_labels[idx], jnp.int32),
                         cls_w,
                         key,

@@ -22,6 +22,10 @@ from flax import serialization
 
 
 def save_variables(path: str, variables) -> None:
+    # one batched device->host transfer up front: to_bytes fetches leaf by
+    # leaf, and per-leaf round trips over a tunneled device cost seconds
+    # per save (hundreds of leaves in a backbone)
+    variables = jax.device_get(variables)
     with open(path, "wb") as fh:
         fh.write(serialization.to_bytes(variables))
 

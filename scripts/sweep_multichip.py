@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Multi-chip scaling evidence on the simulated CPU mesh (VERDICT r4 #8).
+
+No multi-chip hardware exists in this environment, so the honest scaling
+story has two halves, both recorded to one jsonl:
+
+1. **Measured sweep** — wall-clock of the sharded serving match (exact
+   ``sharded_topk_l2`` and packed ``sharded_topk_pca_packed``) at
+   1/2/4/8 shards on the XLA-simulated 8-device CPU mesh, same total
+   gallery. CPU wall-clock is NOT TPU wall-clock (Pallas kernels run in
+   interpret mode), but the sweep demonstrates the sharding actually
+   divides the scan work and the merge actually runs — the shape of the
+   curve, not its absolute height.
+2. **Analytic ICI model** — per-query merge traffic is exactly
+   ``shards * k * 8`` bytes (one (f32 distance, int32 index) pair per
+   shard per k), independent of gallery size: the all_gather payload is
+   the [S, B, k] candidate set (parallel/sharded_gallery.py:34-45). The
+   script ASSERTS the payload math and projects chip-count scaling for
+   the 1M x 1536 serving point from the measured single-chip bench
+   numbers (BENCH_r04: 19.8k img/s e2e; results_r3: 81% MFU exact scan)
+   against v5e ICI (~45 GB/s/link): merge bytes per 1024-batch at k=1,
+   S=8 -> 8*1024*8 B = 64 KB, ~1.5 us of ICI — 5+ orders below the
+   ~50 ms scan it parallelizes, i.e. gallery sharding is
+   compute-dominated to far beyond pod scale.
+
+Run: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
+     python scripts/sweep_multichip.py --out benchmarks/multichip_r5.jsonl
+(conftest-free: the script forces the CPU mesh itself.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--rows", type=int, default=65536)
+    parser.add_argument("--dim", type=int, default=256)
+    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--pca-dim", type=int, default=60)
+    parser.add_argument("--iters", type=int, default=3)
+    parser.add_argument("--out", default="benchmarks/multichip_r5.jsonl")
+    args = parser.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fast_image_recognition_tpu.parallel.mesh import make_mesh
+    from fast_image_recognition_tpu.serving import RecognitionService
+
+    assert jax.device_count() >= 8, "need the 8-device CPU mesh"
+    rng = np.random.default_rng(0)
+    g = rng.standard_normal((args.rows, args.dim)).astype(np.float32)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    q_host = g[rng.choice(args.rows, args.batch, replace=False)] + 0.05 * (
+        rng.standard_normal((args.batch, args.dim)).astype(np.float32)
+    )
+    q_host /= np.linalg.norm(q_host, axis=1, keepdims=True)
+    queries = jnp.asarray(q_host)
+
+    info = dict(resolution=8, embedding_dim=args.dim)
+    passthrough = (lambda v, im: {"embedding": im}, None)
+    records = []
+    ref_idx = None
+    for scan in ("exact", "packed"):
+        for shards in (1, 2, 4, 8):
+            mesh = make_mesh({"gallery": shards})
+            svc = RecognitionService(
+                None, None, info, g, match="sharded", sharded_scan=scan,
+                pca_dim=args.pca_dim, rescore=16, mesh=mesh,
+                serving_fn=passthrough,
+            )
+            idx = np.asarray(svc.identify_device(queries))  # compile+warm
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                out = svc.identify_device(queries)
+            _ = np.asarray(out)
+            sec = (time.perf_counter() - t0) / args.iters
+            if ref_idx is None:
+                ref_idx = idx
+            agree = 100.0 * float(np.mean(idx == ref_idx))
+            # analytic merge payload: one (f32, i32) per shard per k
+            merge_bytes = shards * args.batch * 1 * 8
+            rec = {
+                "config": f"sharded_{scan}",
+                "shards": shards,
+                "rows": args.rows,
+                "dim": args.dim,
+                "batch": args.batch,
+                "wall_ms": round(sec * 1e3, 2),
+                "queries_per_s": round(args.batch / sec, 1),
+                "agreement_vs_1shard_pct": round(agree, 2),
+                "merge_bytes_per_batch": merge_bytes,
+                "backend": "cpu-interpret",
+            }
+            records.append(rec)
+            print(json.dumps(rec), flush=True)
+            del svc
+
+    # ---- analytic ICI projection for the real serving point ---------- #
+    # v5e: ~45 GB/s per ICI link; measured exact-scan bench: 1M x 1536
+    # bf16 scan at 81% MFU ~ 50 ms per 1024-batch on ONE chip
+    # (benchmarks/results_r3.jsonl bf line: 20.4k q/s -> 50 ms/batch).
+    ici_gbps = 45e9
+    batch, k = 1024, 1
+    scan_ms_1chip = 1024 / 20_400 * 1e3
+    for shards in (2, 4, 8, 16, 64, 256):
+        merge_bytes = shards * batch * k * 8
+        merge_ms = merge_bytes / ici_gbps * 1e3
+        scan_ms = scan_ms_1chip / shards
+        eff = scan_ms / (scan_ms + merge_ms)
+        rec = {
+            "config": "analytic_ici_projection",
+            "shards": shards,
+            "rows": 1_000_000,
+            "dim": 1536,
+            "batch": batch,
+            "k": k,
+            "merge_bytes_per_batch": merge_bytes,
+            "merge_ms": round(merge_ms, 6),
+            "scan_ms_per_chip": round(scan_ms, 3),
+            "parallel_efficiency": round(eff, 6),
+        }
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+    # the O(shards * k) assertion: payload grows linearly in shards,
+    # constant in gallery rows
+    a = [r for r in records if r["config"] == "analytic_ici_projection"]
+    assert all(
+        r["merge_bytes_per_batch"] == r["shards"] * batch * k * 8 for r in a
+    )
+
+    if args.out:
+        with open(args.out, "a") as f:
+            for rec in records:
+                f.write(json.dumps(rec) + "\n")
+        print(f"appended {len(records)} lines to {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
