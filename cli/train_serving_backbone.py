@@ -50,6 +50,11 @@ def main() -> None:
     parser.add_argument("--lr", type=float, default=2e-3)
     parser.add_argument("--patience", type=int, default=6)
     parser.add_argument("--taps", default="early")
+    parser.add_argument(
+        "--head", default="linear", choices=["linear", "cosine"],
+        help="cosine = normalized-embedding metric head (transferable "
+        "1-NN geometry on unseen identities)",
+    )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
         "--out",
@@ -111,6 +116,7 @@ def main() -> None:
         phase2_epochs=args.epochs,
         phase2_lr=args.lr,
         patience=args.patience,
+        head=args.head,
         seed=args.seed,
     )
     out = args.out.format(

@@ -78,6 +78,15 @@ class TrainConfig:
     weight_decay: float = 0.0
     patience: int = 3
     loss_head_weights: bool = True  # len(preds)-i weights (:1205)
+    # 'linear' = Dense softmax heads (sequential_inference.py:1179-1188);
+    # 'cosine' = normalized-embedding x normalized-weight logits at fixed
+    # scale — the metric-learning head of the face-recognition domain the
+    # reference serves (gallery 1-NN on L2-normalized embeddings,
+    # db_features.cpp:90-101, needs COSINE-clustered classes to transfer
+    # to unseen identities; a plain softmax head does not constrain the
+    # embedding norm direction geometry off-distribution)
+    head: str = "linear"
+    cosine_scale: float = 16.0
     seed: int = 0
 
 
@@ -136,6 +145,19 @@ class MultiExitTrainer:
             return self._gather_jit(images, jnp.asarray(idx, jnp.int32))
         return self._prep_jit(jnp.asarray(images[idx]))
 
+    def _head_logits_traced(self, e, h):
+        """Head logits by ``config.head``: plain affine, or cosine
+        (normalized embedding x normalized class weights, fixed scale)."""
+        if self.config.head == "cosine":
+            en = e / jnp.maximum(
+                jnp.linalg.norm(e, axis=1, keepdims=True), 1e-12
+            )
+            wn = h["w"] / jnp.maximum(
+                jnp.linalg.norm(h["w"], axis=0, keepdims=True), 1e-12
+            )
+            return self.config.cosine_scale * (en @ wn)
+        return e @ h["w"] + h["b"]
+
     # -- loss ---------------------------------------------------------------
     def _loss(self, params, heads, batch_stats, images, labels, cls_w, rngs):
         out, mutated = self.model.apply(
@@ -152,7 +174,7 @@ class MultiExitTrainer:
         weight_sum = 0.0
         per_example_w = cls_w[labels]
         for i, (e, h) in enumerate(zip(embs, heads)):
-            logits = e @ h["w"] + h["b"]
+            logits = self._head_logits_traced(e, h)
             ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
             w = float(n_heads - i) if self.config.loss_head_weights else 1.0
             total = total + w * jnp.mean(ce * per_example_w)
@@ -229,7 +251,12 @@ class MultiExitTrainer:
                     self._prep_traced(x),
                     train=False,
                 )
-                return jnp.argmax(out["embedding"] @ w + b, 1)
+                return jnp.argmax(
+                    self._head_logits_traced(
+                        out["embedding"], {"w": w, "b": b}
+                    ),
+                    1,
+                )
 
             self._eval_fn = jax.jit(_pred)
         correct = 0
@@ -252,7 +279,10 @@ class MultiExitTrainer:
             taps=self.config.taps,
         )
         embs = [out["taps"][t] for t in self.config.taps] + [out["embedding"]]
-        return [np.asarray(e @ h["w"] + h["b"]) for e, h in zip(embs, self.heads)]
+        return [
+            np.asarray(self._head_logits_traced(e, h))
+            for e, h in zip(embs, self.heads)
+        ]
 
     # -- fit ----------------------------------------------------------------
     def fit(
