@@ -184,6 +184,80 @@ def _planted_gallery_device(
     return gal, true_idx
 
 
+def _class_structured_gallery_device(
+    n: int, class_embs: "np.ndarray", sigma: float, seed: int = 1
+):
+    """Device-built gallery with CLASS STRUCTURE: ``K`` enrolled
+    identities (real extractor embeddings of unseen synthetic classes),
+    each with ~n/K rows = normalize(e_c + sigma * noise) — the
+    many-images-per-identity regime of the reference's LFW/CASIA galleries
+    (qt_cpp/db.h:13-69), with sigma the MEASURED intra-class embedding
+    spread of the same generator. Returns (bf16 gallery [n_pad, D],
+    labels [n_pad] int32 host; pad rows labeled -1).
+
+    This replaces the isotropic planted gallery for trained checkpoints:
+    isotropic rows at probe-cloud spread have a heavy cosine tail (among
+    1M draws some land close to ANY query), which collapses the 1-NN
+    runner-up margin (d2 ~ d1) and forbids any ratio-rule early exit —
+    a workload artifact real galleries don't have (real rows cluster
+    around identity directions)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    k, dim = class_embs.shape
+    n_pad = -(-n // 1024) * 1024
+    # CONTIGUOUS class layout (class c owns rows [c*m, (c+1)*m)): the
+    # match's candidate set is one argmin per gallery tile, so a class
+    # confined to <=ceil(m/tile)+1 tiles can occupy at most that many
+    # candidate slots — the class-aware ratio rule always sees a real
+    # nearest-other-class runner-up. (An interleaved layout lets the
+    # top-1 class win EVERY selected tile — measured: d2=inf floods,
+    # ratio-insensitive overconfident exits at +10pts error.)
+    m = -(-n_pad // k)  # rows per class (last class padded short)
+    labels = np.repeat(np.arange(k, dtype=np.int32), m)[:n_pad]
+    labels[n:] = -1
+    chunk = 1024
+    while chunk * 2 <= 65536 and n_pad % (chunk * 2) == 0:
+        chunk *= 2
+    n_chunks = n_pad // chunk
+
+    @jax.jit
+    def build(key, embs, labs):
+        keys = jax.random.split(key, n_chunks)
+        labs2 = labs.reshape(n_chunks, chunk)
+
+        def mk(args):
+            lab_row, kk = args
+            e = jnp.take(embs, lab_row, axis=0)
+            # per-coordinate scale sigma/sqrt(D): a D-dim standard normal
+            # has norm ~sqrt(D), so an unscaled sigma*n would displace
+            # rows by sigma*sqrt(D) (~17 at D=1280) and drown the
+            # identity direction entirely
+            rows = e + (sigma / float(np.sqrt(dim))) * jax.random.normal(
+                kk, (chunk, dim), jnp.float32
+            )
+            inv = jax.lax.rsqrt(
+                jnp.maximum(
+                    jnp.einsum(
+                        "nd,nd->n", rows, rows,
+                        preferred_element_type=jnp.float32,
+                    ),
+                    1e-30,
+                )
+            )
+            return (rows * inv[:, None]).astype(jnp.bfloat16)
+
+        return jax.lax.map(mk, (labs2, keys)).reshape(n_pad, dim)
+
+    gal = build(
+        jax.random.PRNGKey(seed),
+        jnp.asarray(class_embs, jnp.float32),
+        jnp.asarray(np.maximum(labels, 0)),
+    )
+    return gal, labels
+
+
 def _exact_fp32_nn(queries, gal, n_valid: int):
     """fp32 `precise` Pallas path over the (device, bf16-stored) gallery —
     the math-precision oracle, computed once outside the timing loop. The
@@ -279,9 +353,28 @@ def bench_e2e(args) -> None:
         model, variables, info, resolution=res, folded=True
     )
     rng = np.random.default_rng(0)
+    n = args.gallery
+    gal_labels = None
+    tap_galleries = None
+    extract = args.extract
+    if extract == "auto":
+        extract = "both" if trained else "exact"
     if trained:
-        # unseen-class device-rendered probes (zero host image traffic)
-        images = _synthetic_probe_images(args.batch, res, seed=1000 + args.batch)
+        # exit taps resolved up front: the workload builder extracts
+        # per-level tap embeddings in the same pass when the cascade runs
+        cascade_taps = (
+            args.exit_taps.split(",")
+            if args.exit_taps
+            else ["block4a", "block5c"]
+        )
+        need_taps = cascade_taps if extract in ("cascade", "both") else None
+        w = _trained_recognition_workload(
+            args, res, serve, sparams, taps=need_taps,
+            model=model, variables=variables,
+        )
+        images, emb0, calib_probe = w["images"], w["emb0"], w["calib_probe"]
+        gallery, gal_labels, truth = w["gallery"], w["labels"], w["truth"]
+        tap_galleries = w.get("tap_galleries")
     else:
         # serving-realistic uint8 input: 4x less HBM read in the
         # (preprocess-folded) stem than an fp32 image batch, identical math
@@ -289,33 +382,137 @@ def bench_e2e(args) -> None:
             rng.integers(0, 255, (args.batch, res, res, 3), dtype=np.int64)
             .astype(np.uint8)
         )
+        emb_fn = jax.jit(lambda v, im: serve(v, im)["embedding"])
+        emb0 = _normalize(np.asarray(emb_fn(sparams, images), np.float32))
+        gallery, true_idx = _planted_gallery_device(args.gallery, emb0)
+        truth = ("row", None, true_idx)
 
-    emb_fn = jax.jit(lambda v, im: serve(v, im)["embedding"])
-    emb0 = _normalize(np.asarray(emb_fn(sparams, images), np.float32))
-    gallery, true_idx = _planted_gallery_device(args.gallery, emb0)
-    n = args.gallery
-
-    extract = args.extract
-    if extract == "auto":
-        extract = "both" if trained else "exact"
     if extract in ("cascade", "both"):
         plain_ips = None
         if extract == "both":
             plain_ips = _bench_e2e_plain(
                 args, model, variables, info, serve, sparams, gallery,
-                images, emb0, true_idx, res, n
+                images, emb0, truth, res, n
             )
         _bench_e2e_cascade(args, model, variables, info, gallery, images,
-                           emb0, true_idx, res, n, ckpt=ckpt,
-                           plain_ips=plain_ips)
+                           emb0, truth, res, n, ckpt=ckpt,
+                           plain_ips=plain_ips, gal_labels=gal_labels,
+                           calib_probe=calib_probe if trained else None,
+                           tap_galleries=tap_galleries)
         return
     _bench_e2e_plain(args, model, variables, info, serve, sparams, gallery,
-                     images, emb0, true_idx, res, n)
+                     images, emb0, truth, res, n)
+
+
+def _trained_recognition_workload(
+    args, res: int, serve, sparams, taps=None, model=None, variables=None,
+) -> dict:
+    """RECOGNITION workload for trained checkpoints: K unseen identities
+    rendered at 2 instances each — instance 0 enrolls (its embedding
+    seeds ~n/K class-clustered gallery rows at the MEASURED intra-class
+    spread), instance 1 probes. Error = gallery label of the 1-NN vs the
+    probe's identity (the reference's recognition error,
+    qt_cpp/ann.cpp:106), not row identity. Also returns a
+    capacity-calibration batch of fresh instances of ENROLLED identities
+    disjoint from the probe identities (classes [batch, 2*batch)) —
+    calibrating on un-enrolled identities would measure all-survive and
+    size the cascade useless."""
+    import jax
+    import numpy as np
+
+    from fast_image_recognition_tpu.data.synthetic_device import (
+        device_dataset,
+    )
+
+    n = args.gallery
+    k = args.gallery_classes
+    assert k >= 2 * args.batch, "need >= 2*batch enrolled identities"
+    pair_imgs, _ = device_dataset(
+        k, 2, res, seed=11000, class_seed=3000, chunk=256
+    )
+    if taps:
+        # one pass extracts final embeddings AND per-tap GAP embeddings —
+        # the per-level galleries of the level-gallery cascade (the
+        # reference's x_train_all[level], sequential_inference.py:816-850)
+        from fast_image_recognition_tpu.serving import make_tap_embed_fn
+
+        fwd = make_tap_embed_fn(model, variables, res, taps)
+        feat_chunks = None
+        emb_chunks = []
+        for s in range(0, 2 * k, 1024):
+            f, e = fwd(pair_imgs[s : s + 1024])
+            if feat_chunks is None:
+                feat_chunks = [[] for _ in f]
+            for j, t in enumerate(f):
+                feat_chunks[j].append(np.asarray(t, np.float32))
+            emb_chunks.append(np.asarray(e, np.float32))
+        embs = _normalize(np.concatenate(emb_chunks))
+        tap_embs = [
+            _normalize(np.concatenate(c)) for c in feat_chunks
+        ]
+    else:
+        emb_fn = jax.jit(lambda v, im: serve(v, im)["embedding"])
+        embs = _normalize(np.concatenate([
+            np.asarray(emb_fn(sparams, pair_imgs[s : s + 1024]), np.float32)
+            for s in range(0, 2 * k, 1024)
+        ]))
+        tap_embs = None
+    enroll, probe_emb = embs[0::2], embs[1::2]
+    sigma = float(
+        np.median(np.linalg.norm(enroll - probe_emb, axis=1))
+    ) / np.sqrt(2.0)
+    images = pair_imgs[1 : 2 * args.batch : 2]  # instance-1 rows
+    calib_probe = pair_imgs[2 * args.batch + 1 : 4 * args.batch : 2]
+    del pair_imgs
+    gallery, gal_labels = _class_structured_gallery_device(n, enroll, sigma)
+    tap_galleries = None
+    tap_sigmas = None
+    if tap_embs is not None:
+        tap_galleries = []
+        tap_sigmas = []
+        for te in tap_embs:
+            s_l = float(
+                np.median(np.linalg.norm(te[0::2] - te[1::2], axis=1))
+            ) / np.sqrt(2.0)
+            g_l, lab_l = _class_structured_gallery_device(n, te[0::2], s_l)
+            assert np.array_equal(lab_l, gal_labels)
+            tap_galleries.append(g_l)
+            tap_sigmas.append(round(s_l, 4))
+    print(json.dumps({
+        "workload": "class-structured gallery",
+        "identities": k,
+        "rows_per_identity": -(-n // k),
+        "intra_sigma": round(sigma, 4),
+        "taps": taps,
+        "tap_sigmas": tap_sigmas,
+    }), file=sys.stderr)
+    return {
+        "images": images,
+        "emb0": probe_emb[: args.batch],
+        "calib_probe": calib_probe,
+        "gallery": gallery,
+        "labels": gal_labels,
+        "truth": ("label", gal_labels, np.arange(args.batch)),
+        "sigma": sigma,
+        "enroll": enroll,
+        "tap_galleries": tap_galleries,
+    }
+
+
+def _truth_error_pct(idx_fast, truth) -> float:
+    """Workload error: row identity for planted galleries, gallery LABEL
+    for class-structured ones (recognition semantics)."""
+    import numpy as np
+
+    kind, gal_labels, target = truth
+    if kind == "label":
+        return 100.0 * float(np.mean(gal_labels[idx_fast] != target))
+    return 100.0 * float(np.mean(idx_fast != target))
 
 
 def _bench_e2e_plain(
     args, model, variables, info, serve, sparams, gallery, images, emb0,
-    true_idx, res: int, n: int,
+    truth, res: int, n: int,
 ) -> float:
     import numpy as np
 
@@ -349,7 +546,7 @@ def _bench_e2e_plain(
     ips = args.batch / sec
 
     idx_exact = _exact_fp32_nn(emb0, gallery, n)
-    error_pct = 100.0 * float(np.mean(idx_fast != true_idx))
+    error_pct = _truth_error_pct(idx_fast, truth)
     agreement_pct = 100.0 * float(np.mean(idx_fast == idx_exact))
     _emit(
         f"images/sec/chip end-to-end ({args.variant} extract + 1-NN "
@@ -366,8 +563,9 @@ def _bench_e2e_plain(
 
 
 def _bench_e2e_cascade(
-    args, model, variables, info, gallery, images, emb0, true_idx,
-    res: int, n: int, ckpt=None, plain_ips=None,
+    args, model, variables, info, gallery, images, emb0, truth,
+    res: int, n: int, ckpt=None, plain_ips=None, gal_labels=None,
+    calib_probe=None, tap_galleries=None,
 ) -> None:
     """--extract cascade: the early-exit serving path
     (serving.CascadeRecognitionService) on the same planted workload as
@@ -382,14 +580,20 @@ def _bench_e2e_cascade(
     from fast_image_recognition_tpu.serving import CascadeRecognitionService
 
     taps = args.exit_taps.split(",") if args.exit_taps else None
-    if ckpt is not None:
+    if ckpt is not None and tap_galleries is not None:
+        # LEVEL-GALLERY mode: each exit level matches its own tap
+        # embedding against a gallery built in that tap's space — no
+        # readout error; level confidence is the tap's own 1-NN margin
+        taps = taps or ["block4a", "block5c"]
+        calib_fit = None
+        calib_images = calib_probe
+    elif ckpt is not None:
         # readout-fit pool: unseen classes, disjoint from probe classes
+        # (the readout is a class-agnostic tap->embedding regression)
         calib_fit = _synthetic_probe_images(
             min(2048, 2 * args.batch), res, seed=5000, per_class=2
         )
-        calib_images = _synthetic_probe_images(
-            args.batch, res, seed=7000 + args.batch
-        )
+        calib_images = calib_probe
     else:
         rng = np.random.default_rng(1)
         calib_fit = None
@@ -401,6 +605,11 @@ def _bench_e2e_cascade(
         n_valid=n, resolution=res, taps=taps, grid=args.grid,
         pca_dim=args.pca_dim, rescore=args.rescore,
         ratio=args.cascade_ratio, calib_images=calib_fit,
+        galleries=tap_galleries,
+        # class-structured galleries: the ratio rule must compare against
+        # the nearest OTHER-IDENTITY candidate (d2_rule='class'), since
+        # the runner-up row usually shares the top-1's class
+        labels=gal_labels, d2_rule="row" if gal_labels is None else "class",
     )
     # calibrate capacities on a HELD-OUT draw (ADVICE r4): fitting them to
     # the measured batch guarantees forced_fraction ~ 0 by construction
@@ -420,6 +629,15 @@ def _bench_e2e_cascade(
     idx_fast = packed[:b].astype(np.int64)
     exit_level = packed[b : 2 * b]
     idx_exact = _exact_fp32_nn(emb0, gallery, n)
+    if truth[0] == "label":
+        # early-exited probes return a LEVEL-gallery row; rows align only
+        # through their identity label, so agreement with the exact path
+        # is label agreement (the recognition answer)
+        agreement = 100.0 * float(
+            np.mean(gal_labels[idx_fast] == gal_labels[idx_exact])
+        )
+    else:
+        agreement = 100.0 * float(np.mean(idx_fast == idx_exact))
     extra = {}
     if plain_ips:
         extra["speedup_vs_plain"] = round(ips / plain_ips, 3)
@@ -433,8 +651,8 @@ def _bench_e2e_cascade(
         "images/sec/chip",
         10_000.0,
         sec_per_iter=sec,
-        error_pct=100.0 * float(np.mean(idx_fast != true_idx)),
-        agreement_pct=100.0 * float(np.mean(idx_fast == idx_exact)),
+        error_pct=_truth_error_pct(idx_fast, truth),
+        agreement_pct=agreement,
         exit_fractions=(
             np.bincount(exit_level, minlength=svc.num_levels) / b
         ).round(4).tolist(),
@@ -871,6 +1089,11 @@ def main() -> None:
     parser.add_argument(
         "--grid", type=int, default=2,
         help="--extract cascade: readout grid-pool size (g*g*C tap feats)",
+    )
+    parser.add_argument(
+        "--gallery-classes", type=int, default=4096,
+        help="trained-checkpoint e2e: enrolled identities in the "
+        "class-structured gallery (~gallery/this rows per identity)",
     )
     parser.add_argument(
         "--cascade-ratio", type=float, default=0.7,

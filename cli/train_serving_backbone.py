@@ -66,7 +66,12 @@ def main() -> None:
     import jax.numpy as jnp
 
     from fast_image_recognition_tpu.data.synthetic_device import device_dataset
-    from fast_image_recognition_tpu.models import create_backbone, default_taps
+    from fast_image_recognition_tpu.models import (
+        backbone_info,
+        create_backbone,
+        default_taps,
+        default_taps_for,
+    )
     from fast_image_recognition_tpu.models.efficientnet import (
         MEAN_RGB,
         STDDEV_RGB,
@@ -79,34 +84,41 @@ def main() -> None:
 
     res = args.resolution
     t0 = time.perf_counter()
-    images, labels = device_dataset(
-        args.classes, args.per_class, res, seed=args.seed
+    # train/val rendered as SEPARATE datasets (different instance seeds,
+    # same classes): instances are iid within a class, so this equals a
+    # random split with zero duplicate HBM copies (a render-then-gather
+    # split holds dataset + both gathered splits at peak — OOM at
+    # 1024 classes x 224px)
+    tr_imgs, tr_labels = device_dataset(
+        args.classes, args.train_per_class, res, seed=args.seed
     )
-    images.block_until_ready()
+    va_imgs, va_labels = device_dataset(
+        args.classes, args.per_class - args.train_per_class, res,
+        seed=args.seed + 7919, class_seed=args.seed,
+    )
+    va_imgs.block_until_ready()
     print(
-        f"device dataset {images.shape} rendered in "
+        f"device dataset {tr_imgs.shape}+{va_imgs.shape} rendered in "
         f"{time.perf_counter() - t0:.0f}s",
         flush=True,
     )
 
-    rng = np.random.default_rng(args.seed)
-    tr, va = [], []
-    for c in range(args.classes):
-        idx = rng.permutation(np.nonzero(labels == c)[0])
-        tr.append(idx[: args.train_per_class])
-        va.append(idx[args.train_per_class :])
-    tr_idx, va_idx = np.concatenate(tr), np.concatenate(va)
-    # both splits stay device arrays (batches are device gathers/slices)
-    tr_imgs = jnp.take(images, jnp.asarray(tr_idx, jnp.int32), axis=0)
-    va_imgs = jnp.take(images, jnp.asarray(va_idx, jnp.int32), axis=0)
-    del images  # free the un-split copy's HBM before training starts
-
-    mean = jnp.asarray(MEAN_RGB, jnp.float32)
-    std = jnp.asarray(STDDEV_RGB, jnp.float32)
-    preprocess = lambda x: (x - mean) / std  # noqa: E731
+    # preprocess matches what the serving fold bakes into the stem
+    # (models/fold.py::make_serving_fn) so the checkpoint drops into the
+    # serving surface on RAW uint8 with no adapter
+    info = backbone_info(args.variant)
+    if info.get("preprocess") == "tf":
+        preprocess = lambda x: x / 127.5 - 1.0  # noqa: E731
+    else:
+        mean = jnp.asarray(MEAN_RGB, jnp.float32)
+        std = jnp.asarray(STDDEV_RGB, jnp.float32)
+        preprocess = lambda x: (x - mean) / std  # noqa: E731
 
     model, variables = create_backbone(args.variant, 0, resolution=res)
-    taps = tuple(default_taps(args.variant, args.taps))
+    if info["family"] == "efficientnet":
+        taps = tuple(default_taps(args.variant, args.taps))
+    else:
+        taps = tuple(default_taps_for(args.variant))
     cfg = TrainConfig(
         num_classes=args.classes,
         taps=taps,
@@ -128,12 +140,12 @@ def main() -> None:
     print(f"taps: {list(taps)}", flush=True)
     t0 = time.perf_counter()
     history = trainer.fit(
-        tr_imgs, labels[tr_idx], va_imgs, labels[va_idx], verbose=True
+        tr_imgs, tr_labels, va_imgs, va_labels, verbose=True
     )
     train_s = time.perf_counter() - t0
     # BestCheckpoint already kept the best-val-acc state at --out; report it
     best = max(history["val_acc"]) if history["val_acc"] else float("nan")
-    final = trainer.evaluate(va_imgs, labels[va_idx])
+    final = trainer.evaluate(va_imgs, va_labels)
     print(
         json.dumps(
             {

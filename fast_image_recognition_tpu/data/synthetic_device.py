@@ -92,7 +92,13 @@ def _render_batch(per, noise, res: int, waves: int):
     this elementwise graph compiles in seconds and XLA fuses the whole
     wave accumulation into one VPU pass).
 
-    per: dict of [B]-leading instance+class params; noise [B,res,res,3].
+    Layout: ALL elementwise work runs channel-second ([B, 3, res, res],
+    minor dim = res) and transposes to NHWC once at the end — an NHWC
+    pipeline puts the 3-wide channel axis on the 128-lane minor dimension
+    (2.3% lane utilization, measured ~30 ms/image at 224); channel-second
+    is ~res/128 full lanes.
+
+    per: dict of [B]-leading instance+class params; noise [B,3,res,res].
     """
     import jax.numpy as jnp
 
@@ -109,10 +115,11 @@ def _render_batch(per, noise, res: int, waves: int):
     tx, ty = s(per["tx"]), s(per["ty"])
     xs = ((xx - c - tx) * ca + (yy - c - ty) * sa) * inv + c
     ys = (-(xx - c - tx) * sa + (yy - c - ty) * ca) * inv + c
-    us = (xs / (res - 1))[..., None]  # [B,res,res,1] texture coords
-    vs = (ys / (res - 1))[..., None]
-    img = jnp.zeros(noise.shape, jnp.float32)
-    w4 = lambda v: v[:, None, None, :]  # [B,3] -> [B,1,1,3]  # noqa: E731
+    us = (xs / (res - 1))[:, None]  # [B,1,res,res] texture coords
+    vs = (ys / (res - 1))[:, None]
+    img = jnp.zeros(noise.shape, jnp.float32)  # [B,3,res,res]
+    w4 = lambda v: v[:, :, None, None]  # [B,3] -> [B,3,1,1]  # noqa: E731
+    s4 = lambda v: v[:, None, None, None]  # [B] -> [B,1,1,1]  # noqa: E731
     for w in range(waves):
         arg = (
             2.0 * jnp.pi
@@ -120,12 +127,13 @@ def _render_batch(per, noise, res: int, waves: int):
             + w4(per["ph"][:, :, w])
         )
         img = img + w4(per["amp"][:, :, w]) * jnp.sin(arg)
-    img = (img - s(per["lo"])[..., None]) * s(per["inv_scale"])[..., None]
+    img = (img - s4(per["lo"])) * s4(per["inv_scale"])
     img = img * w4(per["cast"])
-    img = (img - 0.5) * s(per["contrast"])[..., None] + 0.5
-    img = img + s(per["bright"])[..., None]
-    img = img + s(per["namp"])[..., None] * noise
-    return (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    img = (img - 0.5) * s4(per["contrast"]) + 0.5
+    img = img + s4(per["bright"])
+    img = img + s4(per["namp"]) * noise
+    img = (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    return jnp.transpose(img, (0, 2, 3, 1))  # NHWC out, one transpose
 
 
 def make_render_fn(
@@ -176,7 +184,7 @@ def make_render_fn(
                 ks[6], (b,), minval=noise_lo, maxval=noise_hi
             ),
         }
-        noise = jax.random.normal(ks[7], (b, res, res, 3), jnp.float32)
+        noise = jax.random.normal(ks[7], (b, 3, res, res), jnp.float32)
         per = {
             "fx": pd["fx"][class_ids],
             "fy": pd["fy"][class_ids],

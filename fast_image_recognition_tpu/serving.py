@@ -442,6 +442,44 @@ def _grid_pool(h, g: int):
     )
 
 
+def make_tap_embed_fn(model, variables, resolution: int, taps, grid: int = 1):
+    """Jitted ``fn(images) -> (list of [B, g*g*C_l] tap embeddings, final
+    [B, D] embedding)`` over the BN-folded pipeline — the extractor for
+    building PER-LEVEL galleries (the reference's per-level embedding
+    cache, sequential_inference.py:816-850). grid=1 = plain GAP, the tap
+    embedding the level-gallery cascade matches on."""
+    import jax
+    import jax.numpy as jnp
+
+    from fast_image_recognition_tpu.models.inference import (
+        _block,
+        fold_backbone,
+        fold_preprocess_into_stem,
+        folded_head,
+        folded_stem_pp,
+    )
+
+    folded, configs = fold_backbone(model, variables)
+    folded = fold_preprocess_into_stem(folded, resolution)
+    tapset = set(taps)
+
+    def fn(folded, images):
+        h = folded_stem_pp(folded, images)
+        feats = []
+        for p, cfg in zip(folded["blocks"], configs):
+            h = _block(h, p, cfg)
+            if cfg["name"] in tapset:
+                feats.append(_grid_pool(h, grid))
+        emb = folded_head(folded, h)
+        emb = emb / jnp.maximum(
+            jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-30
+        )
+        return feats, emb
+
+    jfn = jax.jit(fn)
+    return lambda images: jfn(folded, images)
+
+
 class CascadeRecognitionService:
     """Early-exit recognition serving: the bound-breaking e2e variant.
 
@@ -510,6 +548,7 @@ class CascadeRecognitionService:
         calib_batch: int = 1024,
         ridge: float = 1e-3,
         calib_images=None,
+        galleries: Optional[Sequence] = None,
         seed: int = 17,
     ):
         import jax
@@ -604,9 +643,53 @@ class CascadeRecognitionService:
         else:
             self._labels_dev = None
 
-        self._fit_readouts(
-            calib_images, calib_total, calib_batch, ridge, seed
-        )
+        # ---- exit-level match mode ----------------------------------- #
+        # 'readout': per-tap affine readouts predict the FINAL embedding
+        #   and match against the one final-embedding gallery (prediction
+        #   error adds directly to d1 — measured to mute exits on hard
+        #   unseen-identity workloads);
+        # 'level': per-tap GALLERIES (``galleries``: one [N, D_l] array
+        #   per tap, row-aligned with the final gallery) — each level
+        #   matches its own tap embedding against a gallery built in the
+        #   SAME space, so level confidence is the tap's own margin with
+        #   no readout error. This is the reference's per-level embedding
+        #   cache (sequential_inference.py:816-850 ``x_train_all[level]``)
+        #   recast at production gallery scale. Tap features are plain
+        #   GAP (grid=1) in this mode.
+        self.mode = "readout" if galleries is None else "level"
+        if self.mode == "level":
+            if len(galleries) != self.num_levels - 1:
+                raise ValueError(
+                    f"need one tap gallery per exit level "
+                    f"({self.num_levels - 1}), got {len(galleries)}"
+                )
+            self.grid = 1
+            self._tap_assets = []
+            for g_l in galleries:
+                if isinstance(g_l, jax.Array) and g_l.dtype == jnp.bfloat16:
+                    gpad = g_l
+                else:
+                    gpad = pad_gallery(
+                        jnp.asarray(np.asarray(g_l, np.float32), jnp.bfloat16)
+                    )
+                if int(gpad.shape[0]) != int(self.gallery.shape[0]):
+                    raise ValueError(
+                        "tap galleries must be row-aligned with the final "
+                        "gallery (same padded row count)"
+                    )
+                aug = jax.jit(
+                    lambda g, tg=self._tile_g: pack_gallery_aug(
+                        g, self.n_valid, tile_g=tg
+                    )
+                )(gpad)
+                self._tap_assets.append(
+                    {"gal": gpad, "aug": aug, "dim": int(gpad.shape[1])}
+                )
+            self._readouts = None
+        else:
+            self._fit_readouts(
+                calib_images, calib_total, calib_batch, ridge, seed
+            )
         self.survivor_fractions: Optional[List[float]] = None
         self._capacities: Optional[Tuple[int, ...]] = None
         self._fused_fns = {}
@@ -702,10 +785,15 @@ class CascadeRecognitionService:
 
     # ------------------------------------------------------------------ #
 
-    def _match_top2(self, emb, gal_aug, gallery):
+    def _match_top2(self, emb, gal_aug, gallery, project=True, dim=None):
         """Normalized [b, D] queries -> (best row [b], d1 [b], d2 [b]) via
-        the packed-PCA candidate scan + exact full-D bf16 rescore. d1/d2
-        are TRUE squared L2 distances (|q|^2 = 1 after normalization).
+        the packed candidate scan + exact bf16 rescore. d1/d2 are TRUE
+        squared L2 distances (|q|^2 = 1 after normalization).
+
+        ``project=True`` scans in the final gallery's PCA space (the exact
+        service's candidate path); ``project=False`` scans the query as-is
+        against a same-space gallery (the 'level' mode's tap-embedding
+        match — tap dims are already small, no projection needed).
 
         d2 depends on ``d2_rule``:
         - 'row': the runner-up row among the rescored candidates
@@ -727,9 +815,10 @@ class CascadeRecognitionService:
             topk_candidates_l2_packed,
         )
 
-        qp = (emb - self._mu) @ self._w
+        qp = (emb - self._mu) @ self._w if project else emb
         cand = topk_candidates_l2_packed(
-            qp, gal_aug, self.pca_dim, self.rescore, tile_g=self._tile_g
+            qp, gal_aug, dim if dim is not None else self.pca_dim,
+            self.rescore, tile_g=self._tile_g,
         )
         rows = jnp.take(gallery, cand, axis=0)  # [b, R, D] bf16
         cross = jnp.einsum(
@@ -787,8 +876,14 @@ class CascadeRecognitionService:
         num_levels = self.num_levels
         ratio2 = self.ratio * self.ratio
         grid = self.grid
+        level_mode = self.mode == "level"
+        tap_dims = (
+            [a["dim"] for a in self._tap_assets] if level_mode else None
+        )
 
-        def fused(params, images, gal_aug, gallery):
+        def fused(params, images, *margs):
+            # margs: level mode -> (aug_0, gal_0, ..., aug_final, gal_final)
+            #        readout mode -> (gal_aug, gallery)
             folded = params["folded"]
             readouts = params["readouts"]
             preds = jnp.zeros((batch,), jnp.int32)
@@ -806,12 +901,23 @@ class CascadeRecognitionService:
                     h = folded_blocks(folded, configs, carry, start, end)
                 if final:
                     emb = folded_head(folded, h)
+                elif level_mode:
+                    emb = _grid_pool(h, 1)  # plain GAP: the tap embedding
                 else:
                     feats = _grid_pool(h, grid)
                     A = readouts[level]
                     emb = feats @ A[:-1] + A[-1]
                 emb = self._normalize(emb.astype(jnp.float32))
-                lp, d1, d2 = self._match_top2(emb, gal_aug, gallery)
+                if level_mode:
+                    aug_l, gal_l = margs[2 * level], margs[2 * level + 1]
+                    lp, d1, d2 = self._match_top2(
+                        emb, aug_l, gal_l,
+                        project=final,
+                        dim=None if final else tap_dims[level],
+                    )
+                else:
+                    gal_aug, gallery = margs
+                    lp, d1, d2 = self._match_top2(emb, gal_aug, gallery)
                 live = ~done[gidx]
                 # fire iff sqrt(d1/d2) < ratio  <=>  ratio^2*d2 - d1 > 0
                 margin = ratio2 * d2 - d1
@@ -875,13 +981,27 @@ class CascadeRecognitionService:
             self._match2_jit = jax.jit(
                 lambda e, ga, g: self._match_top2(e, ga, g)
             )
-        match2 = lambda e: self._match2_jit(e, self._gal_aug, self.gallery)
-        for level in range(self.num_levels - 1):
-            A = self._readouts[level]
-            emb = self._normalize(
-                (feats[level] @ A[:-1] + A[-1]).astype(jnp.float32)
+            self._match2_lvl_jit = jax.jit(
+                lambda e, ga, g, d: self._match_top2(
+                    e, ga, g, project=False, dim=d
+                ),
+                static_argnums=(3,),
             )
-            _, d1, d2 = match2(emb)
+        for level in range(self.num_levels - 1):
+            if self.mode == "level":
+                emb = self._normalize(feats[level].astype(jnp.float32))
+                a = self._tap_assets[level]
+                _, d1, d2 = self._match2_lvl_jit(
+                    emb, a["aug"], a["gal"], a["dim"]
+                )
+            else:
+                A = self._readouts[level]
+                emb = self._normalize(
+                    (feats[level] @ A[:-1] + A[-1]).astype(jnp.float32)
+                )
+                _, d1, d2 = self._match2_jit(
+                    emb, self._gal_aug, self.gallery
+                )
             margin = np.asarray(self.ratio * self.ratio * d2 - d1)
             alive = alive & ~(margin > 0)
             fractions.append(float(alive.mean()))
@@ -904,6 +1024,17 @@ class CascadeRecognitionService:
             caps.append(max(64, batch // 4) if batch >= 256 else batch)
         return tuple(caps)
 
+    def _match_args(self) -> tuple:
+        """Gallery tensors passed as jit ARGUMENTS (closure capture would
+        bake multi-GB galleries into the lowered module as constants)."""
+        if self.mode == "level":
+            out = []
+            for a in self._tap_assets:
+                out.extend((a["aug"], a["gal"]))
+            out.extend((self._gal_aug, self.gallery))
+            return tuple(out)
+        return (self._gal_aug, self.gallery)
+
     def identify_device(self, images, capacities=None):
         """Raw image batch -> device packed [2B+1] int32
         ([preds | exit_level | forced]) — the timing-loop surface."""
@@ -915,9 +1046,7 @@ class CascadeRecognitionService:
         if key not in self._fused_fns:
             self._fused_fns[key] = self._build_fused(b, caps)
         params = {"folded": self._folded, "readouts": self._readouts}
-        return self._fused_fns[key](
-            params, images, self._gal_aug, self.gallery
-        )
+        return self._fused_fns[key](params, images, *self._match_args())
 
     def identify(self, images, capacities=None):
         """Raw image batch -> (gallery rows [B] int64, labels or None,

@@ -45,6 +45,7 @@ def main() -> None:
     parser.add_argument("--promising", type=float, default=0.7,
                         help="time configs whose min survivor frac < this")
     parser.add_argument("--slack", type=float, default=1.3)
+    parser.add_argument("--gallery-classes", type=int, default=4096)
     parser.add_argument("--ckpt", default="auto")
     parser.add_argument("--out", default="benchmarks/cascade_e2e_sweep_r5.jsonl")
     args = parser.parse_args()
@@ -69,13 +70,11 @@ def main() -> None:
         model, variables, info, resolution=res, folded=True
     )
 
-    images = bench._synthetic_probe_images(args.batch, res, seed=1000 + args.batch)
+    w = bench._trained_recognition_workload(args, res, serve, sparams)
+    images, emb0 = w["images"], w["emb0"]
+    calib_images = w["calib_probe"]  # enrolled-identity calibration batch
+    gallery, labels, truth = w["gallery"], w["labels"], w["truth"]
     calib_fit = bench._synthetic_probe_images(2048, res, seed=5000, per_class=2)
-    calib_images = bench._synthetic_probe_images(args.batch, res, seed=7000 + args.batch)
-
-    emb_fn = jax.jit(lambda v, im: serve(v, im)["embedding"])
-    emb0 = bench._normalize(np.asarray(emb_fn(sparams, images), np.float32))
-    gallery, true_idx = bench._planted_gallery_device(args.gallery, emb0)
     n = args.gallery
     idx_exact = bench._exact_fp32_nn(emb0, gallery, n)
 
@@ -100,7 +99,7 @@ def main() -> None:
     emit({
         "config": "plain",
         "img_per_s": round(plain_ips, 1),
-        "error_pct": round(100.0 * float(np.mean(idx_plain != true_idx)), 3),
+        "error_pct": round(bench._truth_error_pct(idx_plain, truth), 3),
         "agreement_pct": round(100.0 * float(np.mean(idx_plain == idx_exact)), 3),
     })
     del service
@@ -114,7 +113,7 @@ def main() -> None:
             svc = CascadeRecognitionService(
                 model, variables, info, gallery, n_valid=n, resolution=res,
                 taps=taps, grid=grid, pca_dim=124, rescore=48,
-                calib_images=calib_fit,
+                calib_images=calib_fit, labels=labels, d2_rule="class",
             )
         except Exception as e:
             emit({"config": spec, "error": str(e)[:200]})
@@ -169,7 +168,7 @@ def main() -> None:
             "ratio": best_ratio,
             "img_per_s": round(b / sec, 1),
             "speedup_vs_plain": round(b / sec / plain_ips, 3),
-            "error_pct": round(100.0 * float(np.mean(idx_fast != true_idx)), 3),
+            "error_pct": round(bench._truth_error_pct(idx_fast, truth), 3),
             "agreement_pct": round(
                 100.0 * float(np.mean(idx_fast == idx_exact)), 3
             ),
