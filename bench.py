@@ -365,7 +365,7 @@ def bench_e2e(args) -> None:
         cascade_taps = (
             args.exit_taps.split(",")
             if args.exit_taps
-            else ["block4a", "block5c"]
+            else ["block3a", "block4a", "block5c"]
         )
         need_taps = cascade_taps if extract in ("cascade", "both") else None
         w = _trained_recognition_workload(
@@ -584,7 +584,7 @@ def _bench_e2e_cascade(
         # LEVEL-GALLERY mode: each exit level matches its own tap
         # embedding against a gallery built in that tap's space — no
         # readout error; level confidence is the tap's own 1-NN margin
-        taps = taps or ["block4a", "block5c"]
+        taps = taps or ["block3a", "block4a", "block5c"]
         calib_fit = None
         calib_images = calib_probe
     elif ckpt is not None:
@@ -1096,9 +1096,11 @@ def main() -> None:
         "class-structured gallery (~gallery/this rows per identity)",
     )
     parser.add_argument(
-        "--cascade-ratio", type=float, default=0.7,
+        "--cascade-ratio", type=float, default=0.85,
         help="--extract cascade: exit when the rescored 1-NN distance "
-        "ratio d1/d2 < this (the reference's 0.7, ImageTesting.cpp:533)",
+        "ratio d1/d2 < this (reference 0.7, ImageTesting.cpp:533; 0.85 "
+        "is the measured error-minimum of the r5 level-gallery curve, "
+        "benchmarks/cascade_level_r5.jsonl)",
     )
     parser.add_argument(
         "--exit-taps", default=None, metavar="block5c,block6a",

@@ -666,6 +666,13 @@ class CascadeRecognitionService:
             self.grid = 1
             self._tap_assets = []
             for g_l in galleries:
+                if int(g_l.shape[0]) < self.n_valid:
+                    raise ValueError(
+                        "tap galleries must be row-aligned with the final "
+                        "gallery (row r = the same enrolled image at every "
+                        f"level); got {int(g_l.shape[0])} rows < n_valid "
+                        f"{self.n_valid}"
+                    )
                 if isinstance(g_l, jax.Array) and g_l.dtype == jnp.bfloat16:
                     gpad = g_l
                 else:
@@ -674,8 +681,8 @@ class CascadeRecognitionService:
                     )
                 if int(gpad.shape[0]) != int(self.gallery.shape[0]):
                     raise ValueError(
-                        "tap galleries must be row-aligned with the final "
-                        "gallery (same padded row count)"
+                        "tap galleries must pad to the final gallery's row "
+                        "count (pass n_valid and same pre-pad row counts)"
                     )
                 aug = jax.jit(
                     lambda g, tg=self._tile_g: pack_gallery_aug(

@@ -145,3 +145,69 @@ def test_calibrate_sizes_capacities(setup):
     assert all(f == pytest.approx(1.0) for f in fracs)
     caps = svc.capacities_for(BATCH)
     assert caps[0] == BATCH and all(c <= BATCH for c in caps)
+
+
+# --------------------------------------------------------------------- #
+# level-gallery mode (per-tap galleries, serving.py mode='level')        #
+# --------------------------------------------------------------------- #
+
+
+def _norm_np(x):
+    x = np.asarray(x, np.float32)
+    return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+
+
+def test_level_gallery_exact_probe_exits_level0():
+    """Probes identical to the enrolled instances must all exit at level 0
+    with the right identity: d1 ~ sigma while d2 spans classes."""
+    import jax.numpy as jnp
+
+    from fast_image_recognition_tpu.data.synthetic_device import device_dataset
+    from fast_image_recognition_tpu.models import backbone_info, create_backbone
+    from fast_image_recognition_tpu.serving import (
+        CascadeRecognitionService,
+        make_tap_embed_fn,
+    )
+
+    res, k, per = 32, 12, 8
+    info = backbone_info("b0")
+    model, variables = create_backbone("b0", 0, resolution=res)
+    taps = ["block4a", "block5c"]
+    fwd = make_tap_embed_fn(model, variables, res, taps)
+    imgs, _ = device_dataset(k, 1, res, seed=0, chunk=12)
+    feats, emb = fwd(imgs)
+    rng = np.random.default_rng(0)
+
+    def mk_gal(e):
+        rows = np.repeat(_norm_np(e), per, axis=0)
+        rows += (1e-4 / np.sqrt(rows.shape[1])) * rng.standard_normal(
+            rows.shape
+        ).astype(np.float32)
+        return rows / np.linalg.norm(rows, axis=1, keepdims=True)
+
+    g_labels = np.repeat(np.arange(k), per).astype(np.int32)
+    svc = CascadeRecognitionService(
+        model, variables, info, mk_gal(emb), labels=g_labels,
+        resolution=res, taps=taps, galleries=[mk_gal(f) for f in feats],
+        d2_rule="class", rescore=8, ratio=0.7,
+    )
+    assert svc.mode == "level" and svc.grid == 1
+    svc.calibrate(imgs, slack=1.5)
+    idx, plabels, stats = svc.identify(imgs)
+    assert np.array_equal(plabels, np.arange(k))
+    assert stats["break_counts"][0] == pytest.approx(1.0)
+
+
+def test_level_gallery_rejects_misaligned_rows():
+    from fast_image_recognition_tpu.models import backbone_info, create_backbone
+    from fast_image_recognition_tpu.serving import CascadeRecognitionService
+
+    info = backbone_info("b0")
+    model, variables = create_backbone("b0", 0, resolution=32)
+    g_final = _norm_np(np.random.default_rng(0).standard_normal((64, info["embedding_dim"])))
+    bad_tap = _norm_np(np.random.default_rng(1).standard_normal((32, 80)))
+    with pytest.raises(ValueError, match="row-aligned"):
+        CascadeRecognitionService(
+            model, variables, info, g_final, resolution=32,
+            taps=["block4a"], galleries=[bad_tap],
+        )
