@@ -98,6 +98,11 @@ def main() -> None:
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--pool", type=int, default=4096)
     parser.add_argument("--bucket", type=int, default=1024)
+    parser.add_argument(
+        "--streams", type=int, default=1,
+        help="pooled mode: interleaved sub-pools whose per-level fetches "
+        "pipeline (hides the device-link RTT; engine.predict_pooled)",
+    )
     parser.add_argument("--iters", type=int, default=5)
     parser.add_argument(
         "--far-sweep", default="0.1,0.05,0.02,0.01,0.005",
@@ -242,15 +247,21 @@ def main() -> None:
         pipe.coefs = [jnp.asarray(w, jnp.float32) for w in c.coefs]
         pipe.intercepts = [jnp.asarray(b, jnp.float32) for b in c.intercepts]
         pipe.thresholds = list(c.thresholds[:-1])
-        r = pipe.predict_pooled(pool_imgs, bucket=args.bucket, warmup=True)
+        r = pipe.predict_pooled(
+            pool_imgs, bucket=args.bucket, warmup=True,
+            streams=args.streams,
+        )
         best = None
         for _ in range(args.iters):
-            rr = pipe.predict_pooled(pool_imgs, bucket=args.bucket)
+            rr = pipe.predict_pooled(
+                pool_imgs, bucket=args.bucket, streams=args.streams
+            )
             if best is None or rr.ms_per_image < best.ms_per_image:
                 best = rr
         recall = macro_recall_percent(pool_y, best.predictions, num_classes)
         emit({
             "config": "cascade_trained_pooled",
+            "streams": args.streams,
             "dataset": dtag,
             "variant": args.variant,
             "resolution": res,

@@ -88,12 +88,13 @@ def _chi2_kernel(
         q = q_ref[b_row, :][None, :]  # [1, D]
         s = g + q
         diff = g - q
-        # guarded approximate reciprocal: chi2 terms with a+b <= 0
-        # contribute 0 (oracle semantics, ops/distances.py:88-90);
-        # features are non-negative post-loader so this only guards
-        # padding/zeroed lanes
+        # approximate reciprocal with the s<=0 branch folded away: on the
+        # non-negative feature domain (loader contract,
+        # db_features.cpp:80-101) s == 0 implies q == g == 0, so
+        # diff^2 * recip(max(s, eps)) is exactly 0 there — the oracle's
+        # where(s > 0, ., 0) (ops/distances.py:88-90) without the select
+        # pass (measured ~10% of the VPU body)
         r = pl.reciprocal(jnp.maximum(s, 1e-30), approx=True)
-        r = jnp.where(s > 0.0, r, 0.0)
         scores[b_row, :] = jnp.sum(diff * diff * r, axis=1)
         return carry
 

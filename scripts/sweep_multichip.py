@@ -63,7 +63,7 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from fast_image_recognition_tpu.parallel.mesh import make_mesh
+    from fast_image_recognition_tpu.parallel.mesh import gallery_mesh
     from fast_image_recognition_tpu.serving import RecognitionService
 
     assert jax.device_count() >= 8, "need the 8-device CPU mesh"
@@ -82,7 +82,7 @@ def main() -> None:
     ref_idx = None
     for scan in ("exact", "packed"):
         for shards in (1, 2, 4, 8):
-            mesh = make_mesh({"gallery": shards})
+            mesh = gallery_mesh(shards)
             svc = RecognitionService(
                 None, None, info, g, match="sharded", sharded_scan=scan,
                 pca_dim=args.pca_dim, rescore=16, mesh=mesh,
