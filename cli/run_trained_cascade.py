@@ -99,9 +99,11 @@ def main() -> None:
     parser.add_argument("--pool", type=int, default=4096)
     parser.add_argument("--bucket", type=int, default=1024)
     parser.add_argument(
-        "--streams", type=int, default=1,
+        "--streams", default="1",
         help="pooled mode: interleaved sub-pools whose per-level fetches "
-        "pipeline (hides the device-link RTT; engine.predict_pooled)",
+        "pipeline (hides the device-link RTT; engine.predict_pooled). "
+        "Comma list: first value runs the FAR sweep, the rest re-measure "
+        "at --fused-far for the pipelining comparison",
     )
     parser.add_argument("--iters", type=int, default=5)
     parser.add_argument(
@@ -117,6 +119,8 @@ def main() -> None:
     parser.add_argument("--classes", type=int, default=128)
     parser.add_argument("--per-class", type=int, default=60)
     args = parser.parse_args()
+    streams_list = [int(x) for x in str(args.streams).split(",")]
+    args.streams = streams_list[0]
 
     import jax
     import jax.numpy as jnp
@@ -266,6 +270,36 @@ def main() -> None:
             "variant": args.variant,
             "resolution": res,
             "far": far,
+            "macro_recall_pct": round(recall, 2),
+            "img_per_s": round(1000.0 / best.ms_per_image, 1),
+            "break_counts": [round(float(b), 4) for b in best.break_counts],
+        })
+
+    # ---- 3b. pooled stream-pipelining comparison at the chosen FAR ------- #
+    for extra_streams in streams_list[1:]:
+        c = cascades[args.fused_far]
+        pipe.coefs = [jnp.asarray(w, jnp.float32) for w in c.coefs]
+        pipe.intercepts = [jnp.asarray(b, jnp.float32) for b in c.intercepts]
+        pipe.thresholds = list(c.thresholds[:-1])
+        r = pipe.predict_pooled(
+            pool_imgs, bucket=args.bucket, warmup=True,
+            streams=extra_streams,
+        )
+        best = None
+        for _ in range(args.iters):
+            rr = pipe.predict_pooled(
+                pool_imgs, bucket=args.bucket, streams=extra_streams
+            )
+            if best is None or rr.ms_per_image < best.ms_per_image:
+                best = rr
+        recall = macro_recall_percent(pool_y, best.predictions, num_classes)
+        emit({
+            "config": "cascade_trained_pooled",
+            "streams": extra_streams,
+            "dataset": dtag,
+            "variant": args.variant,
+            "resolution": res,
+            "far": args.fused_far,
             "macro_recall_pct": round(recall, 2),
             "img_per_s": round(1000.0 / best.ms_per_image, 1),
             "break_counts": [round(float(b), 4) for b in best.break_counts],

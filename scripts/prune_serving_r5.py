@@ -114,13 +114,19 @@ def main() -> None:
 
     taps = tuple(default_taps(args.variant, "early"))
 
-    def finetune(m, v, epochs):
+    def finetune(m, v, epochs, heads=None):
+        # cosine head matches the checkpoint's training objective
+        # (cli/train_serving_backbone.py --head cosine)
         cfg = TrainConfig(
             num_classes=args.classes, taps=taps, resolution=res,
             batch_size=128, phase1_epochs=0, phase2_epochs=epochs,
-            phase2_lr=args.lr, patience=4, seed=args.seed,
+            phase2_lr=args.lr, patience=4, head="cosine", seed=args.seed,
         )
         t = MultiExitTrainer(m, v, cfg, preprocess=prep)
+        if heads is not None:
+            # evaluate the unmodified checkpoint with ITS OWN heads —
+            # fresh random heads read as ~0 accuracy
+            t.heads = heads
         if epochs:
             t.fit(tr_imgs, labels[tr_idx], va_imgs, labels[va_idx],
                   verbose=False)
@@ -162,9 +168,23 @@ def main() -> None:
         })
         del svc, gallery
 
-    # baseline: the trained checkpoint as-is (no extra fine-tune)
+    # baseline: the trained checkpoint as-is (no extra fine-tune),
+    # evaluated with the checkpoint's own heads
+    from fast_image_recognition_tpu.utils.checkpoint import load_variables
+
+    ckpt_heads = load_variables(ckpt).get("heads")
+    if ckpt_heads is not None:
+        import jax.numpy as _jnp
+
+        if isinstance(ckpt_heads, dict):  # msgpack stores lists as dicts
+            ckpt_heads = [
+                ckpt_heads[str(i)] for i in range(len(ckpt_heads))
+            ]
+        ckpt_heads = [
+            {k: _jnp.asarray(v) for k, v in h.items()} for h in ckpt_heads
+        ]
     t0_all = time.perf_counter()
-    trainer, acc = finetune(model, variables, 0)
+    trainer, acc = finetune(model, variables, 0, heads=ckpt_heads)
     serve_line(f"baseline_{args.variant}", model,
                {"params": trainer.params, "batch_stats": trainer.batch_stats},
                acc)
