@@ -96,6 +96,12 @@ def main() -> None:
     parser.add_argument("--phase1-epochs", type=int, default=4)
     parser.add_argument("--phase2-epochs", type=int, default=4)
     parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--phase1-lr", type=float, default=1e-3)
+    parser.add_argument(
+        "--phase2-lr", type=float, default=1e-4,
+        help="1e-4 suits fine-tuning; from-scratch many-class runs want "
+        "~2e-3",
+    )
     parser.add_argument("--pool", type=int, default=4096)
     parser.add_argument("--bucket", type=int, default=1024)
     parser.add_argument(
@@ -160,6 +166,8 @@ def main() -> None:
         taps=taps,
         resolution=res,
         batch_size=args.batch_size,
+        phase1_lr=args.phase1_lr,
+        phase2_lr=args.phase2_lr,
         phase1_epochs=args.phase1_epochs,
         phase2_epochs=args.phase2_epochs,
         seed=args.seed,

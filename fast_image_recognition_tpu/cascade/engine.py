@@ -444,14 +444,23 @@ class SequentialInferencePipeline:
         for the full alive set stay device-resident between levels (size
         the pool to HBM: level-0 output dominates at ~H*W*C per image).
 
-        ``streams > 1`` splits the pool into independent sub-pools whose
-        per-level fetches PIPELINE: every stream's buckets dispatch (and
-        its result starts a ``copy_to_host_async``) before any stream
-        blocks on its fetch, so stream A's link round-trip overlaps stream
-        B..N's compute — the high-RTT (tunneled-device) fix for the
-        per-level host sync being the pooled mode's floor (VERDICT r4
-        Weak #7). Exit decisions are unchanged (streams partition the
-        pool; decisions are per-image).
+        ``streams > 1`` splits the pool into independent sub-pools that
+        advance through the levels as an EVENT LOOP: each stream, on its
+        turn, blocks on its own pending fetch, compacts, and immediately
+        dispatches its NEXT level before any other stream is touched — so
+        one stream's link round-trip can overlap the others' dispatched
+        device work. Exit decisions are unchanged (streams partition the
+        pool; decisions are per-image; a level-synchronous barrier has no
+        semantic role).
+
+        Measured honesty (r5, digits@32 pool 4096 on the tunneled v5e):
+        streams 1/2/4 = 19.5k / 20.9k / 18.2k img/s — NO material win,
+        because the tunnel serializes device->host transfers in its
+        client (``copy_to_host_async`` does not start an overlapping
+        transfer there), so the per-level RTT floor stands. On such
+        links ``predict_fused`` is the answer (518k img/s on the same
+        workload, one transfer per pool); ``streams`` ships for
+        direct-attached devices where async copies actually overlap.
 
         Reference semantics: sequential_inference.py:1368-1394, with the
         compaction amortized over the pool instead of per image."""
@@ -474,47 +483,51 @@ class SequentialInferencePipeline:
             {
                 "alive": np.arange(bounds[s], bounds[s + 1]),
                 "carry": x[bounds[s] : bounds[s + 1]],
+                "level": 0,
             }
             for s in range(streams)
         ]
 
+        def dispatch(st):
+            """Queue one stream's next-level buckets + async host copy."""
+            seg = self._get_seg(st["level"])
+            carry = st["carry"]
+            n_alive = len(st["alive"])
+            # fixed [bucket]-row dispatch shape: one compile per level,
+            # tail waste < bucket rows per level per stream
+            n_pad = _round_up(max(n_alive, 1), bucket)
+            if int(carry.shape[0]) != n_pad:
+                pad = jnp.zeros(
+                    (n_pad - int(carry.shape[0]),) + tuple(carry.shape[1:]),
+                    carry.dtype,
+                )
+                carry = jnp.concatenate([carry, pad], axis=0)
+            hs, out_rows = [], []
+            for s in range(0, n_pad, bucket):
+                h, lp, cf = seg(self._seg_params, carry[s : s + bucket])
+                hs.append(h)
+                out_rows.append(
+                    jnp.stack([lp.astype(jnp.float32), cf], axis=0)
+                )
+            st["hs"] = hs
+            st["packed_dev"] = jnp.concatenate(out_rows, axis=1)
+            try:  # start the device->host copy without blocking
+                st["packed_dev"].copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass
+
         t0 = time.perf_counter()
-        for level in range(self.num_levels):
-            final = level == self.num_levels - 1
-            seg = self._get_seg(level)
-            live = [st for st in states if len(st["alive"])]
-            # phase 1: dispatch every stream's buckets, start async copies
-            for st in live:
-                n_alive = len(st["alive"])
-                carry = st["carry"]
-                # fixed [bucket]-row dispatch shape: one compile per
-                # level, tail waste < bucket rows per level per stream
-                n_pad = _round_up(max(n_alive, 1), bucket)
-                if int(carry.shape[0]) != n_pad:
-                    pad = jnp.zeros(
-                        (n_pad - int(carry.shape[0]),)
-                        + tuple(carry.shape[1:]),
-                        carry.dtype,
-                    )
-                    carry = jnp.concatenate([carry, pad], axis=0)
-                hs, out_rows = [], []
-                for s in range(0, n_pad, bucket):
-                    h, lp, cf = seg(self._seg_params, carry[s : s + bucket])
-                    hs.append(h)
-                    out_rows.append(
-                        jnp.stack([lp.astype(jnp.float32), cf], axis=0)
-                    )
-                st["hs"] = hs
-                st["packed_dev"] = jnp.concatenate(out_rows, axis=1)
-                try:  # overlap the device->host link with other streams
-                    st["packed_dev"].copy_to_host_async()
-                except (AttributeError, NotImplementedError):
-                    pass
-            # phase 2: fetch + compact each stream (ONE [2, n_alive]
-            # fetch per stream per level)
-            for st in live:
+        active = [st for st in states if len(st["alive"])]
+        for st in active:
+            dispatch(st)
+        while active:
+            for st in list(active):
+                level = st["level"]
+                final = level == self.num_levels - 1
                 alive = st["alive"]
                 n_alive = len(alive)
+                # blocks on THIS stream only; other streams' dispatched
+                # levels keep the device busy through this round trip
                 packed = np.asarray(st.pop("packed_dev"))
                 hs = st.pop("hs")
                 level_pred = packed[0, :n_alive].astype(np.int64)
@@ -530,11 +543,12 @@ class SequentialInferencePipeline:
                 st["alive"] = alive[keep]
                 if final or not len(keep):
                     st["carry"] = None
+                    active.remove(st)
                     continue
                 h_all = hs[0] if len(hs) == 1 else jnp.concatenate(hs, axis=0)
                 st["carry"] = jnp.take(h_all, jnp.asarray(keep), axis=0)
-            if final or not any(len(st["alive"]) for st in states):
-                break
+                st["level"] = level + 1
+                dispatch(st)  # next level queued BEFORE other streams fetch
         elapsed = time.perf_counter() - t0
 
         counts = np.bincount(exit_level, minlength=self.num_levels) / n
